@@ -1,0 +1,296 @@
+"""The OutfitX set-transformer: outfit encoder + task heads, TPU-first.
+
+Functional re-design of the reference model (reference src/models/outfit_x.py):
+
+- parameters are a plain pytree; the 6 encoder layers are *stacked* along a
+  leading axis and applied with `lax.scan` (one trace/compile per layer type,
+  optionally rematerialized);
+- pre-LN residual blocks, 16 heads, d_ffn 2024, mish, dropout 0.3, and no
+  final LayerNorm — matching the reference's live hyperparameters
+  (transformer_config.py:7-24, outfit_x.py:32-45);
+- task heads (outfit_x.py:46-90): CP = learnable prefix `outfit_token` +
+  Linear(d -> 1) on its output state (:120-144); CIR/FITB = target token
+  concat(learnable image half, given text half) + bias-free Linear(d -> d)
+  (:147-172); key-padding mask True = pad, prefix never masked (:133-136);
+- tensor-parallel ready: attention heads and FFN hidden shard Megatron-style
+  over the 'model' mesh axis, batch over 'data' (replaces the reference's
+  DDP-only parallelism, SURVEY.md 2.8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from outfitx_tpu.core import dtypes
+from outfitx_tpu.core.config import OutfitXConfig
+from outfitx_tpu.core.mesh import constrain
+from outfitx_tpu.ops import layer_norm, masked_mha, mish
+
+Params = Dict[str, Any]
+
+
+class Task(enum.Enum):
+    """Task dispatch (reference outfit_x.py:84-90 maps task dataclasses to
+    forwards; FITB reuses the CIR forward)."""
+
+    CP = "cp"
+    CIR = "cir"
+    FITB = "fitb"
+    PRECOMPUTE = "precompute"
+
+
+def _uniform(key, shape, bound, dtype):
+    return jax.random.uniform(
+        key, shape, minval=-bound, maxval=bound, dtype=dtype
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class OutfitXModel:
+    """Stateless model: `init` builds the param pytree, `*_forward` apply it."""
+
+    cfg: OutfitXConfig = dataclasses.field(default_factory=OutfitXConfig)
+
+    # ------------------------------------------------------------- init --
+    def init(self, key: jax.Array) -> Params:
+        cfg = self.cfg
+        d = cfg.d_embed
+        ffn = cfg.transformer.d_ffn
+        n_layers = cfg.transformer.n_layers
+        pdt = dtypes.resolve(cfg.param_dtype)
+        keys = jax.random.split(key, 8)
+
+        def layer_init(k):
+            ks = jax.random.split(k, 6)
+            bd = 1.0 / (d**0.5)
+            bf = 1.0 / (ffn**0.5)
+            return {
+                "ln1": {"scale": jnp.ones((d,), pdt), "bias": jnp.zeros((d,), pdt)},
+                "ln2": {"scale": jnp.ones((d,), pdt), "bias": jnp.zeros((d,), pdt)},
+                "attn": {
+                    # Xavier-uniform QKV/out projections (torch MHA default).
+                    "wq": _uniform(ks[0], (d, d), (6.0 / (2 * d)) ** 0.5, pdt),
+                    "wk": _uniform(ks[1], (d, d), (6.0 / (2 * d)) ** 0.5, pdt),
+                    "wv": _uniform(ks[2], (d, d), (6.0 / (2 * d)) ** 0.5, pdt),
+                    "wo": _uniform(ks[3], (d, d), bd, pdt),
+                    "bq": jnp.zeros((d,), pdt),
+                    "bk": jnp.zeros((d,), pdt),
+                    "bv": jnp.zeros((d,), pdt),
+                    "bo": jnp.zeros((d,), pdt),
+                },
+                "ffn": {
+                    "w1": _uniform(ks[4], (d, ffn), bd, pdt),
+                    "b1": _uniform(ks[4], (ffn,), bd, pdt),
+                    "w2": _uniform(ks[5], (ffn, d), bf, pdt),
+                    "b2": _uniform(ks[5], (d,), bf, pdt),
+                },
+            }
+
+        layer_keys = jax.random.split(keys[0], n_layers)
+        layers = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[layer_init(k) for k in layer_keys]
+        )
+        bd = 1.0 / (d**0.5)
+        return {
+            "layers": layers,
+            # prefix tokens: randn * 0.02 (outfit_x.py:53-55, :69-71)
+            "outfit_token": 0.02 * jax.random.normal(keys[1], (d,), pdt),
+            "target_image_emb": 0.02
+            * jax.random.normal(keys[2], (d // 2,), pdt),
+            "cp_head": {
+                "w": _uniform(keys[3], (d, 1), bd, pdt),
+                "b": _uniform(keys[4], (1,), bd, pdt),
+            },
+            "cir_proj": {"w": _uniform(keys[5], (d, d), bd, pdt)},
+        }
+
+    # -------------------------------------------------- partition specs --
+    def param_partition_specs(self) -> Params:
+        """Megatron-style TP: QKV/FFN-in column-sharded, out-proj/FFN-out
+        row-sharded over 'model'. Leading stacked-layer axis unsharded."""
+        col = P(None, None, "model")
+        row = P(None, "model", None)
+        rep1 = P(None, None)
+        return {
+            "layers": {
+                "ln1": {"scale": rep1, "bias": rep1},
+                "ln2": {"scale": rep1, "bias": rep1},
+                "attn": {
+                    "wq": col, "wk": col, "wv": col, "wo": row,
+                    "bq": P(None, "model"), "bk": P(None, "model"),
+                    "bv": P(None, "model"), "bo": rep1,
+                },
+                "ffn": {
+                    "w1": col, "b1": P(None, "model"),
+                    "w2": row, "b2": rep1,
+                },
+            },
+            "outfit_token": P(None),
+            "target_image_emb": P(None),
+            "cp_head": {"w": P(None, None), "b": P(None)},
+            "cir_proj": {"w": P(None, None)},
+        }
+
+    # ---------------------------------------------------------- encoder --
+    def _layer(self, lp: Params, x, pad_mask, rng, deterministic: bool):
+        cfg = self.cfg
+        h = cfg.transformer.n_heads
+        b, s, d = x.shape
+        dh = d // h
+        drop = cfg.transformer.dropout
+
+        def dropout(k, t):
+            if deterministic or drop == 0.0:
+                return t
+            keep = jax.random.bernoulli(k, 1.0 - drop, t.shape)
+            return jnp.where(keep, t / (1.0 - drop), jnp.zeros_like(t))
+
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+
+        # --- self-attention block (pre-LN) ---
+        y = layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"])
+        a = lp["attn"]
+
+        def proj(t, w, bias):
+            o = jnp.dot(t, w.astype(t.dtype)) + bias.astype(t.dtype)
+            o = constrain(o, P("data", None, "model"))
+            return o.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
+
+        q = proj(y, a["wq"], a["bq"])
+        k = proj(y, a["wk"], a["bk"])
+        v = proj(y, a["wv"], a["bv"])
+        o = masked_mha(q, k, v, pad_mask)  # (B,H,S,Dh)
+        o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
+        o = jnp.dot(o, a["wo"].astype(o.dtype)) + a["bo"].astype(o.dtype)
+        o = constrain(o, P("data", None, None))
+        x = x + dropout(k1, o)
+
+        # --- FFN block (pre-LN, mish) ---
+        y = layer_norm(x, lp["ln2"]["scale"], lp["ln2"]["bias"])
+        f = lp["ffn"]
+        hmid = mish(jnp.dot(y, f["w1"].astype(y.dtype)) + f["b1"].astype(y.dtype))
+        hmid = constrain(hmid, P("data", None, "model"))
+        hmid = dropout(k3, hmid)
+        o = jnp.dot(hmid, f["w2"].astype(hmid.dtype)) + f["b2"].astype(hmid.dtype)
+        o = constrain(o, P("data", None, None))
+        return x + dropout(k4, o)
+
+    def encode_set(
+        self,
+        params: Params,
+        tokens: jax.Array,  # (B, S, D)
+        pad_mask: jax.Array,  # (B, S) bool, True = pad
+        *,
+        deterministic: bool = True,
+        rng: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        cfg = self.cfg
+        cdt = dtypes.resolve(cfg.compute_dtype)
+        x = tokens.astype(cdt)
+        x = constrain(x, P("data", None, None))
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+
+        def body(carry, lp_and_idx):
+            lp, idx = lp_and_idx
+            layer_rng = jax.random.fold_in(rng, idx)
+            out = self._layer(lp, carry, pad_mask, layer_rng, deterministic)
+            return out, None
+
+        layer_fn = body
+        if cfg.transformer.n_layers > 0:
+            if getattr(cfg, "remat", False):
+                layer_fn = jax.checkpoint(body)
+            idxs = jnp.arange(cfg.transformer.n_layers)
+            x, _ = jax.lax.scan(layer_fn, x, (params["layers"], idxs))
+        return x
+
+    # ------------------------------------------------------- task heads --
+    def cp_forward(
+        self,
+        params: Params,
+        outfit_embedding: jax.Array,  # (B, L, D)
+        outfit_mask: jax.Array,  # (B, L) bool True=pad
+        *,
+        deterministic: bool = True,
+        rng: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Compatibility scores (B,) — logits (reference outfit_x.py:120-144)."""
+        cdt = dtypes.resolve(self.cfg.compute_dtype)
+        b = outfit_embedding.shape[0]
+        tok = jnp.broadcast_to(
+            params["outfit_token"].astype(cdt)[None, None, :],
+            (b, 1, self.cfg.d_embed),
+        )
+        x = jnp.concatenate([tok, outfit_embedding.astype(cdt)], axis=1)
+        mask = jnp.concatenate(
+            [jnp.zeros((b, 1), dtype=bool), outfit_mask], axis=1
+        )
+        states = self.encode_set(
+            params, x, mask, deterministic=deterministic, rng=rng
+        )
+        token_state = states[:, 0, :]
+        if not deterministic and self.cfg.transformer.dropout > 0 and rng is not None:
+            hk = jax.random.fold_in(rng, 10_000)
+            keep = jax.random.bernoulli(
+                hk, 1.0 - self.cfg.transformer.dropout, token_state.shape
+            )
+            token_state = jnp.where(
+                keep,
+                token_state / (1.0 - self.cfg.transformer.dropout),
+                jnp.zeros_like(token_state),
+            )
+        h = params["cp_head"]
+        scores = (
+            jnp.dot(token_state, h["w"].astype(cdt)) + h["b"].astype(cdt)
+        )
+        return scores[:, 0].astype(jnp.float32)
+
+    def cir_forward(
+        self,
+        params: Params,
+        outfit_embedding: jax.Array,  # (B, L, D)
+        outfit_mask: jax.Array,  # (B, L)
+        target_item_text_embedding: jax.Array,  # (B, D//2)
+        *,
+        deterministic: bool = True,
+        rng: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Predicted target-item embedding (B, D) (reference outfit_x.py:147-172)."""
+        cdt = dtypes.resolve(self.cfg.compute_dtype)
+        b = outfit_embedding.shape[0]
+        img_half = jnp.broadcast_to(
+            params["target_image_emb"].astype(cdt)[None, :],
+            (b, self.cfg.d_embed // 2),
+        )
+        target_tok = jnp.concatenate(
+            [img_half, target_item_text_embedding.astype(cdt)], axis=-1
+        )[:, None, :]
+        x = jnp.concatenate([target_tok, outfit_embedding.astype(cdt)], axis=1)
+        mask = jnp.concatenate(
+            [jnp.zeros((b, 1), dtype=bool), outfit_mask], axis=1
+        )
+        states = self.encode_set(
+            params, x, mask, deterministic=deterministic, rng=rng
+        )
+        out = jnp.dot(states[:, 0, :], params["cir_proj"]["w"].astype(cdt))
+        return out.astype(jnp.float32)
+
+    # FITB shares the CIR forward (reference outfit_x.py:87).
+    fitb_forward = cir_forward
+
+    def forward(self, params: Params, task: Task, *args, **kwargs):
+        if task is Task.CP:
+            return self.cp_forward(params, *args, **kwargs)
+        if task in (Task.CIR, Task.FITB):
+            return self.cir_forward(params, *args, **kwargs)
+        raise KeyError(f"unsupported task: {task}")
+
+    def n_params(self, params: Params) -> int:
+        return sum(x.size for x in jax.tree.leaves(params))

@@ -1,0 +1,138 @@
+"""Masked multi-head set attention.
+
+The reference's attention is torch's nn.MultiheadAttention inside
+nn.TransformerEncoderLayer with src_key_padding_mask (True = pad; the prefix
+token at position 0 is never masked — reference outfit_x.py:128-144). Outfits
+are at most 16 items + 1 prefix token, so this is *set attention over tiny
+sequences*: the TPU-native design keeps the whole (L, L) score matrix in
+registers/VMEM, computes softmax in f32, and fuses the score+softmax+combine
+chain in a single Pallas kernel gridded over (batch-tile, head). Sequence
+parallelism is structurally unnecessary at L<=32 (SURVEY.md 5, long-context).
+
+Inputs are (B, H, L, Dh) with a (B, L) bool key-padding mask.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from outfitx_tpu.ops.common import cdiv, round_up, use_interpret
+
+_NEG = -1e9
+
+
+def _mha_reference(q, k, v, pad_mask):
+    """XLA path: einsum attention, f32 softmax, bf16 matmuls."""
+    dh = q.shape[-1]
+    scale = 1.0 / (dh**0.5)
+    scores = jnp.einsum(
+        "bhld,bhmd->bhlm", q, k, preferred_element_type=jnp.float32
+    )
+    scores = scores * scale
+    mask = pad_mask[:, None, None, :]  # (B,1,1,L) over keys
+    scores = jnp.where(mask, _NEG, scores)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhlm,bhmd->bhld",
+        probs.astype(q.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
+    # Blocks: q/k/v (TB, 1, L, Dh); mask (TB, L).
+    q = q_ref[:, 0].astype(jnp.float32)  # (TB, L, Dh)
+    k = k_ref[:, 0].astype(jnp.float32)
+    v = v_ref[:, 0].astype(jnp.float32)
+    dh = q.shape[-1]
+    scores = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * (1.0 / (dh**0.5))  # (TB, L, L)
+    mask = mask_ref[:][:, None, :]  # (TB, 1, L) key mask
+    scores = jnp.where(mask, _NEG, scores)
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        probs,
+        v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (TB, L, Dh)
+    o_ref[:, 0] = out.astype(o_ref.dtype)
+
+
+def _mha_pallas_impl(q, k, v, pad_mask):
+    b, h, l, dh = q.shape
+    tile_b = max(1, min(64, b))
+    pad_b = round_up(b, tile_b)
+    if pad_b != b:
+        pad = ((0, pad_b - b), (0, 0), (0, 0), (0, 0))
+        q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
+        # Padded batch rows: mark every key masked except key 0 (uniform
+        # attention over key 0 — harmless, sliced away below).
+        mrow = jnp.ones((pad_b - b, l), dtype=pad_mask.dtype).at[:, 0].set(False)
+        pad_mask = jnp.concatenate([pad_mask, mrow], axis=0)
+    grid = (cdiv(pad_b, tile_b), h)
+    qkv_spec = pl.BlockSpec(
+        (tile_b, 1, l, dh), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _mha_kernel,
+        grid=grid,
+        in_specs=[
+            qkv_spec,
+            qkv_spec,
+            qkv_spec,
+            pl.BlockSpec(
+                (tile_b, l), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((pad_b, h, l, dh), q.dtype),
+        interpret=use_interpret(),
+    )(q, k, v, pad_mask)
+    return out[:b]
+
+
+@jax.custom_vjp
+def _mha_pallas(q, k, v, pad_mask):
+    return _mha_pallas_impl(q, k, v, pad_mask)
+
+
+def _mha_fwd(q, k, v, pad_mask):
+    return _mha_pallas_impl(q, k, v, pad_mask), (q, k, v, pad_mask)
+
+
+def _mha_bwd(res, g):
+    q, k, v, pad_mask = res
+    # Tiny-L attention: recompute-based backward through the XLA path is
+    # bandwidth-cheap (L<=32) and lets XLA fuse the whole chain.
+    _, vjp = jax.vjp(lambda q, k, v: _mha_reference(q, k, v, pad_mask), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_mha_pallas.defvjp(_mha_fwd, _mha_bwd)
+
+
+def masked_mha(q, k, v, pad_mask, *, impl: str = "auto"):
+    """Multi-head attention with key-padding mask (True = pad).
+
+    q, k, v: (B, H, L, Dh); pad_mask: (B, L) bool. Returns (B, H, L, Dh).
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        return _mha_pallas(q, k, v, pad_mask)
+    return _mha_reference(q, k, v, pad_mask)

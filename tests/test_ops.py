@@ -1,0 +1,154 @@
+"""Golden tests for the Pallas kernel set vs XLA reference implementations.
+
+Off-TPU the Pallas kernels run in interpreter mode (ops/common.py), so these
+tests validate kernel logic itself, not just the XLA fallback.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from outfitx_tpu.ops import layer_norm, masked_mha, mish, pairwise_l2
+from outfitx_tpu.ops.retrieval import fitb_pick, retrieve, topk_smallest
+
+
+def test_mish_matches_torch():
+    import torch
+
+    x = np.linspace(-6, 6, 101, dtype=np.float32)
+    got = np.asarray(mish(jnp.asarray(x)))
+    want = torch.nn.functional.mish(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestLayerNorm:
+    @pytest.mark.parametrize("shape", [(4, 64), (3, 7, 96), (1, 128)])
+    def test_pallas_matches_xla(self, shape, rng):
+        x = jnp.asarray(rng.standard_normal(shape), dtype=jnp.float32)
+        d = shape[-1]
+        scale = jnp.asarray(rng.standard_normal(d), dtype=jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(d), dtype=jnp.float32)
+        got = layer_norm(x, scale, bias, impl="pallas")
+        want = layer_norm(x, scale, bias, impl="xla")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+        )
+
+    def test_matches_torch(self, rng):
+        import torch
+
+        x = rng.standard_normal((5, 48)).astype(np.float32)
+        scale = rng.standard_normal(48).astype(np.float32)
+        bias = rng.standard_normal(48).astype(np.float32)
+        want = torch.nn.functional.layer_norm(
+            torch.from_numpy(x), (48,), torch.from_numpy(scale),
+            torch.from_numpy(bias),
+        ).numpy()
+        got = np.asarray(layer_norm(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias), impl="pallas"))
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+    def test_grad_matches_xla(self, rng):
+        x = jnp.asarray(rng.standard_normal((6, 32)), dtype=jnp.float32)
+        scale = jnp.ones((32,))
+        bias = jnp.zeros((32,))
+
+        def loss(impl, x, s, b):
+            return jnp.sum(jnp.sin(layer_norm(x, s, b, impl=impl)))
+
+        gp = jax.grad(lambda *a: loss("pallas", *a), argnums=(0, 1, 2))(x, scale, bias)
+        gx = jax.grad(lambda *a: loss("xla", *a), argnums=(0, 1, 2))(x, scale, bias)
+        for a, b_ in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4)
+
+
+class TestMaskedMHA:
+    def _inputs(self, rng, b=5, h=4, l=9, dh=16):
+        q = jnp.asarray(rng.standard_normal((b, h, l, dh)), dtype=jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, h, l, dh)), dtype=jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, h, l, dh)), dtype=jnp.float32)
+        lengths = rng.integers(1, l + 1, size=b)
+        mask = np.zeros((b, l), dtype=bool)
+        for i, n in enumerate(lengths):
+            mask[i, n:] = True
+        return q, k, v, jnp.asarray(mask)
+
+    def test_pallas_matches_xla(self, rng):
+        q, k, v, mask = self._inputs(rng)
+        got = masked_mha(q, k, v, mask, impl="pallas")
+        want = masked_mha(q, k, v, mask, impl="xla")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+        )
+
+    def test_matches_torch_sdpa(self, rng):
+        import torch
+
+        q, k, v, mask = self._inputs(rng)
+        tq, tk, tv = (torch.from_numpy(np.asarray(t)) for t in (q, k, v))
+        tmask = torch.from_numpy(np.asarray(mask))  # True = pad
+        attn_mask = ~tmask[:, None, None, :]  # SDPA: True = attend
+        want = torch.nn.functional.scaled_dot_product_attention(
+            tq, tk, tv, attn_mask=attn_mask
+        ).numpy()
+        got = np.asarray(masked_mha(q, k, v, mask, impl="xla"))
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    def test_masked_keys_have_no_influence(self, rng):
+        q, k, v, mask = self._inputs(rng)
+        # Perturb fully-masked key/value rows; output must not change.
+        big = jnp.where(mask[:, None, :, None], 1e3, 0.0)
+        got0 = masked_mha(q, k, v, mask, impl="pallas")
+        got1 = masked_mha(q, k + big, v + big, mask, impl="pallas")
+        np.testing.assert_allclose(np.asarray(got0), np.asarray(got1), atol=1e-5)
+
+    def test_grad_flows(self, rng):
+        q, k, v, mask = self._inputs(rng, b=2, l=5)
+
+        def loss(q, k, v):
+            return jnp.sum(masked_mha(q, k, v, mask, impl="pallas") ** 2)
+
+        grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        ref = jax.grad(
+            lambda q, k, v: jnp.sum(masked_mha(q, k, v, mask, impl="xla") ** 2),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b in zip(grads, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+class TestRetrieval:
+    def test_pairwise_l2_matches_torch_cdist(self, rng):
+        import torch
+
+        q = rng.standard_normal((7, 24)).astype(np.float32)
+        p = rng.standard_normal((50, 24)).astype(np.float32)
+        want = torch.cdist(torch.from_numpy(q), torch.from_numpy(p)).numpy()
+        got = np.asarray(pairwise_l2(jnp.asarray(q), jnp.asarray(p)))
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+    def test_retrieve_topk(self, rng):
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        p = rng.standard_normal((100, 16)).astype(np.float32)
+        d2, idx = retrieve(jnp.asarray(q), jnp.asarray(p), k=10)
+        # brute force
+        bf = ((q[:, None, :] - p[None, :, :]) ** 2).sum(-1)
+        want_idx = np.argsort(bf, axis=1, kind="stable")[:, :10]
+        want_d = np.take_along_axis(bf, want_idx, axis=1)
+        np.testing.assert_allclose(np.sort(np.asarray(d2), axis=1), np.sort(want_d, axis=1), atol=1e-3, rtol=1e-3)
+        # Same set of retrieved ids (order may differ on near-ties).
+        for r_got, r_want in zip(np.asarray(idx), want_idx):
+            assert set(r_got.tolist()) == set(r_want.tolist())
+
+    def test_topk_smallest(self):
+        d = jnp.asarray([[3.0, 1.0, 2.0, 0.5]])
+        vals, idx = topk_smallest(d, 2)
+        np.testing.assert_array_equal(np.asarray(idx), [[3, 1]])
+        np.testing.assert_allclose(np.asarray(vals), [[0.5, 1.0]])
+
+    def test_fitb_pick(self, rng):
+        q = rng.standard_normal((3, 8)).astype(np.float32)
+        c = rng.standard_normal((3, 4, 8)).astype(np.float32)
+        got = np.asarray(fitb_pick(jnp.asarray(q), jnp.asarray(c)))
+        want = np.argmin(((c - q[:, None, :]) ** 2).sum(-1), axis=1)
+        np.testing.assert_array_equal(got, want)
