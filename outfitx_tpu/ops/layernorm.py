@@ -104,10 +104,14 @@ _ln_pallas.defvjp(_ln_fwd, _ln_bwd)
 def layer_norm(x, scale, bias, *, impl: str = "auto"):
     """LayerNorm over the last axis.
 
-    impl: 'xla' | 'pallas' | 'auto' (pallas on TPU, xla elsewhere).
+    impl: 'xla' | 'pallas' | 'auto'. 'auto' resolves to 'xla': benchmarked on
+    v5e at the flagship shape (B=4096, L=17, d=1536), XLA's fused LN beats
+    this standalone Pallas kernel inside the full model (33.2k vs 24.2k
+    outfits/s with Pallas MHA) because XLA fuses LN into neighboring ops.
+    The Pallas kernel remains for standalone-normalization paths.
     """
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        impl = "xla"
     if impl == "pallas":
         return _ln_pallas(x, scale, bias)
     return _ln_reference(x, scale, bias)

@@ -1,0 +1,178 @@
+"""Compatibility-prediction trainer (reference
+compatibility_prediction_trainer.py, rebuilt TPU-native).
+
+Semantics preserved: FocalLoss(alpha .75, gamma 2), AdamW 2e-5 + OneCycle,
+grad accumulation + clip 1.0, epoch-level AUC/Acc/P/R/F1 over the *full*
+epoch's predictions, best-checkpoint tracking on AUC and loss. Dropped by
+design: per-step dist.barrier (:80-81, flagged costly in SURVEY.md), the DDP
+all_gather of predictions (under SPMD the host sees globally-sharded outputs
+directly), and GradScaler (bf16).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from outfitx_tpu.core.config import CPTrainConfig, OutfitXConfig
+from outfitx_tpu.data.catalog import Catalog
+from outfitx_tpu.data.sampler import cp_train_batches, eval_batches
+from outfitx_tpu.data.splits import CPSplit
+from outfitx_tpu.evalm import binary_classification_metrics
+from outfitx_tpu.losses import focal_loss
+from outfitx_tpu.models import OutfitXModel
+from outfitx_tpu.train.harness import Trainer
+from outfitx_tpu.train.optim import make_optimizer
+from outfitx_tpu.train.state import TrainState
+from outfitx_tpu.train.steps import make_cp_eval_step, make_cp_train_step
+
+
+class CPTrainer(Trainer):
+    def __init__(
+        self,
+        cfg: CPTrainConfig,
+        model_cfg: Optional[OutfitXConfig] = None,
+        run_mode: str = "train-valid",
+        *,
+        catalog: Optional[Catalog] = None,
+        train_split: Optional[CPSplit] = None,
+        valid_split: Optional[CPSplit] = None,
+        eval_batch_size: Optional[int] = None,
+    ):
+        super().__init__(cfg, run_mode)
+        self.model_cfg = model_cfg or OutfitXConfig()
+        self._catalog = catalog
+        self._train_split = train_split
+        self._valid_split = valid_split
+        self.eval_batch_size = eval_batch_size or cfg.batch_size
+
+    @property
+    def model_name(self) -> str:
+        return f"{self.model_cfg.model_name}-cp"
+
+    def best_metrics(self) -> Dict[str, str]:
+        return {"auc": "max", "loss": "min"}
+
+    # ------------------------------------------------------------ setup --
+    def load_model(self) -> None:
+        self.model = OutfitXModel(self.model_cfg)
+        key = jax.random.PRNGKey(self.cfg.seed)
+        pkey, dkey = jax.random.split(key)
+        self.init_params = self.model.init(pkey)
+        self.init_rng = dkey
+
+    def load_optimizer(self) -> None:
+        # total optimizer steps for the OneCycle horizon
+        n_train = len(self._train_split) if self._train_split is not None else 0
+        super_b = self.cfg.batch_size * self.cfg.accumulation_steps
+        steps_per_epoch = max(n_train // super_b, 1)
+        self.total_steps = steps_per_epoch * self.cfg.n_epochs
+        self.tx = make_optimizer(self.cfg.optimizer, self.total_steps)
+        self.state = TrainState.create(self.init_params, self.tx, self.init_rng)
+        self.train_step = make_cp_train_step(
+            self.model,
+            self.tx,
+            alpha=self.cfg.focal_alpha,
+            gamma=self.cfg.focal_gamma,
+        )
+        self.eval_step = make_cp_eval_step(self.model)
+
+    def setup_data(self) -> None:
+        if self._catalog is None:
+            self._catalog = Catalog.from_polyvore(
+                self.cfg.dataset_dir, model_name=self.model_cfg.model_name
+            )
+            self._train_split = CPSplit.load(
+                self._catalog, self.cfg.dataset_dir, self.cfg.polyvore_type,
+                "train", self.model_cfg.max_outfit_len,
+            )
+            self._valid_split = CPSplit.load(
+                self._catalog, self.cfg.dataset_dir, self.cfg.polyvore_type,
+                "valid", self.model_cfg.max_outfit_len,
+            )
+            # data loaded before the optimizer needs len(); re-derive schedule
+            self.load_optimizer()
+        self.catalog_dev = jnp.asarray(self._catalog.embeddings)
+        self.log(
+            f"catalog: {self._catalog.n_items} items x {self._catalog.d_embed}d "
+            f"({self.catalog_dev.nbytes / 1e6:.1f} MB on device); "
+            f"train {len(self._train_split)}, valid {len(self._valid_split)} outfits"
+        )
+
+    # ------------------------------------------------------------ train --
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        losses, all_scores, all_labels = [], [], []
+        for batch in cp_train_batches(
+            self._train_split,
+            batch_size=self.cfg.batch_size,
+            accum_steps=self.cfg.accumulation_steps,
+            epoch=epoch,
+            seed=self.cfg.seed,
+        ):
+            self.state, out = self.train_step(
+                self.state, self.catalog_dev, batch
+            )
+            losses.append(out["loss"])
+            all_scores.append(out["scores"])
+            all_labels.append(out["labels"])
+        if not losses:
+            return {}
+        # One host sync at epoch end (losses/scores pulled together).
+        losses = [float(x) for x in jax.device_get(losses)]
+        scores = np.concatenate(
+            [np.asarray(s).ravel() for s in jax.device_get(all_scores)]
+        )
+        labels = np.concatenate(
+            [np.asarray(l).ravel() for l in jax.device_get(all_labels)]
+        )
+        metrics = binary_classification_metrics(scores, labels, from_logits=True)
+        metrics["loss"] = float(np.mean(losses))
+        return metrics
+
+    def _eval_split(self, split: CPSplit) -> Dict[str, float]:
+        scores_all, labels_all, valid_all, losses = [], [], [], []
+        for batch in eval_batches(
+            {
+                "item_idx": split.item_rows,
+                "mask": split.mask,
+                "label": split.labels,
+            },
+            batch_size=self.eval_batch_size,
+        ):
+            s = self.eval_step(
+                self.state.params,
+                self.catalog_dev,
+                batch["item_idx"],
+                batch["mask"],
+            )
+            losses.append(
+                focal_loss(
+                    jnp.asarray(s),
+                    jnp.asarray(batch["label"]),
+                    alpha=self.cfg.focal_alpha,
+                    gamma=self.cfg.focal_gamma,
+                )
+            )
+            scores_all.append(np.asarray(s))
+            labels_all.append(batch["label"])
+            valid_all.append(batch["valid"])
+        if not scores_all:
+            return {}
+        valid = np.concatenate(valid_all)
+        scores = np.concatenate(scores_all)[valid]
+        labels = np.concatenate(labels_all)[valid]
+        metrics = binary_classification_metrics(scores, labels, from_logits=True)
+        metrics["loss"] = float(np.mean(jax.device_get(losses)))
+        return metrics
+
+    def valid_epoch(self, epoch: int) -> Dict[str, float]:
+        metrics = self._eval_split(self._valid_split)
+        if metrics:
+            self.maybe_save_best(metrics, params=self.state.params, epoch=epoch)
+        return metrics
+
+    def test(self) -> Dict[str, float]:
+        return self._eval_split(self._valid_split)

@@ -1,0 +1,201 @@
+"""Trainer harness: the reusable training framework layer.
+
+TPU-native re-design of the reference's ``DistributedTrainer`` ABC
+(distributed_trainer.py; SURVEY.md L1). Same public surface — context manager
++ ``run()`` + abstract hooks + checkpoint/log gateways — with the distributed
+substrate swapped: instead of process-group rendezvous, DDP wrapping, and
+cross-rank error broadcast, the harness owns a `jax.sharding.Mesh`, places
+params/batches by sharding spec, and lets XLA insert all collectives. In
+JAX's SPMD model every process executes one program, so the reference's
+``safe_process_context`` error-broadcast machinery (:189-204) is unnecessary
+by construction; multi-host init reduces to `jax.distributed.initialize()`.
+"""
+
+from __future__ import annotations
+
+import abc
+import contextlib
+import logging
+import pathlib
+import sys
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from outfitx_tpu.core.config import TrainConfig
+from outfitx_tpu.core.mesh import MeshSpec, make_mesh
+from outfitx_tpu.train.checkpoint import BestMetricTracker, CheckpointManager
+
+RUN_MODES = ("train-valid", "test", "custom")
+
+
+class Trainer(abc.ABC):
+    """Context-managed trainer.
+
+    Usage (mirrors reference run/cp.py:5-9)::
+
+        with CPTrainer(cfg, run_mode="train-valid") as t:
+            t.run()
+    """
+
+    def __init__(self, cfg: TrainConfig, run_mode: str = "train-valid"):
+        if run_mode not in RUN_MODES:
+            raise ValueError(f"run_mode {run_mode!r} not in {RUN_MODES}")
+        self.cfg = cfg
+        self.run_mode = run_mode
+        self.epoch = 0
+        self.mesh = None
+        self.logger: Optional[logging.Logger] = None
+        self.ckpt: Optional[CheckpointManager] = None
+        self.best = BestMetricTracker(**self.best_metrics())
+        self._mesh_ctx = None
+        self._step_times: list[float] = []
+
+    # ------------------------------------------------------------ hooks --
+    @property
+    @abc.abstractmethod
+    def model_name(self) -> str: ...
+
+    def best_metrics(self) -> Dict[str, str]:
+        """metric -> 'max'|'min' for best-checkpoint tracking."""
+        return {}
+
+    @abc.abstractmethod
+    def load_model(self) -> None: ...
+
+    @abc.abstractmethod
+    def load_optimizer(self) -> None: ...
+
+    @abc.abstractmethod
+    def setup_data(self) -> None: ...
+
+    def hook_after_setup(self) -> None:
+        """Warm-start / checkpoint chaining point (reference
+        complementary_item_retrieval_trainer.py:344-359)."""
+
+    @abc.abstractmethod
+    def train_epoch(self, epoch: int) -> Dict[str, float]: ...
+
+    @abc.abstractmethod
+    def valid_epoch(self, epoch: int) -> Dict[str, float]: ...
+
+    def test(self) -> Dict[str, float]:
+        raise NotImplementedError(f"{type(self).__name__} has no test mode")
+
+    def custom_task(self) -> Any:
+        raise NotImplementedError(f"{type(self).__name__} has no custom task")
+
+    # ------------------------------------------------------------ setup --
+    def setup(self) -> None:
+        self.setup_logger()
+        self.setup_mesh()
+        self.ckpt = CheckpointManager(self.cfg.checkpoint_dir, self.model_name)
+        self.load_model()
+        self.load_optimizer()
+        self.setup_data()
+        self.hook_after_setup()
+
+    def setup_logger(self) -> None:
+        self.logger = logging.getLogger(self.model_name)
+        self.logger.setLevel(logging.INFO)
+        self.logger.propagate = False  # root logger would double-print
+        if not self.logger.handlers:
+            fmt = logging.Formatter(
+                "%(asctime)s %(name)s %(levelname)s %(message)s"
+            )
+            sh = logging.StreamHandler(sys.stderr)
+            sh.setFormatter(fmt)
+            self.logger.addHandler(sh)
+            log_dir = pathlib.Path(self.cfg.log_dir)
+            log_dir.mkdir(parents=True, exist_ok=True)
+            fh = logging.FileHandler(log_dir / f"{self.model_name}.log")
+            fh.setFormatter(fmt)
+            self.logger.addHandler(fh)
+
+    def setup_mesh(self) -> None:
+        n = len(jax.devices())
+        data, model = self.cfg.mesh.resolve(n)
+        self.mesh = make_mesh(MeshSpec(data=data, model=model))
+        self._mesh_ctx = jax.set_mesh(self.mesh)
+        self._mesh_ctx.__enter__()
+        self.log(
+            f"mesh: data={data} model={model} over {n} "
+            f"{jax.devices()[0].platform} device(s)"
+        )
+
+    # -------------------------------------------------------------- run --
+    def run(self) -> Any:
+        if self.run_mode == "train-valid":
+            result = None
+            for epoch in range(self.epoch, self.cfg.n_epochs):
+                self.epoch = epoch
+                t0 = time.perf_counter()
+                train_metrics = self.train_epoch(epoch)
+                valid_metrics = self.valid_epoch(epoch)
+                dt = time.perf_counter() - t0
+                self.log_metrics("train", epoch, train_metrics)
+                self.log_metrics("valid", epoch, valid_metrics)
+                self.log(f"epoch {epoch} done in {dt:.1f}s")
+                result = valid_metrics
+            return result
+        if self.run_mode == "test":
+            metrics = self.test()
+            self.log_metrics("test", self.epoch, metrics)
+            return metrics
+        return self.custom_task()
+
+    # ---------------------------------------------------------- logging --
+    def log(self, msg: str, level: int = logging.INFO) -> None:
+        if self.logger:
+            self.logger.log(level, msg)
+
+    def log_metrics(
+        self, split: str, epoch: int, metrics: Dict[str, float]
+    ) -> None:
+        """Namespace: {metric}/{split}/epoch (reference wandb scheme,
+        wandb_test.py / compatibility_prediction_trainer.py:120,186)."""
+        if not metrics:
+            return
+        parts = " ".join(f"{k}={v:.5f}" for k, v in metrics.items())
+        self.log(f"[{split}] epoch {epoch}: {parts}")
+
+    # ------------------------------------------------------ checkpoints --
+    def maybe_save_best(
+        self, metrics: Dict[str, float], *, params, epoch: int
+    ) -> None:
+        for name, value in metrics.items():
+            if name in self.best.mode and self.best.update(name, value):
+                self.ckpt.save(
+                    f"best_{name}",
+                    params=params,
+                    epoch=epoch,
+                    metrics=metrics,
+                    config=self.cfg,
+                )
+                self.log(f"saved best_{name} ({value:.5f}) at epoch {epoch}")
+
+    # ---------------------------------------------------------- context --
+    def __enter__(self) -> "Trainer":
+        self.setup()
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        try:
+            if exc_type is None and self.run_mode == "train-valid":
+                params = getattr(self, "state", None)
+                if params is not None and self.ckpt is not None:
+                    self.ckpt.save(
+                        "final",
+                        params=self.state.params,
+                        step=int(self.state.step),
+                        epoch=self.epoch,
+                        config=self.cfg,
+                    )
+                    self.log("saved final checkpoint")
+        finally:
+            if self._mesh_ctx is not None:
+                with contextlib.suppress(Exception):
+                    self._mesh_ctx.__exit__(exc_type, exc, tb)
+            logging.shutdown()
