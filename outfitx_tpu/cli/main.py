@@ -1,0 +1,198 @@
+"""CLI entry points (reference src/trains/run/*.py + run.sh).
+
+The reference exposes click commands cp/cir/fitb/original_cp/pes launched
+under torchrun (run.sh:31). Here a single `python -m outfitx_tpu.cli`
+multi-command CLI covers the same tasks; there is no torchrun equivalent to
+wrap — SPMD runs in-process over the device mesh, and multi-host launch is
+`jax.distributed.initialize()` driven by the environment.
+
+``--synthetic`` runs any task on generated data (no Polyvore download
+needed) — useful for smoke tests and benchmarking.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import click
+
+from outfitx_tpu.core.config import (
+    CIRTrainConfig,
+    CPTrainConfig,
+    FITBTrainConfig,
+    MeshConfig,
+    OptimizerConfig,
+    OutfitXConfig,
+)
+
+
+def _synth(model_cfg: OutfitXConfig, n_outfits: int = 2048, seed: int = 0):
+    from outfitx_tpu.data.synthetic import make_synthetic
+
+    return make_synthetic(
+        n_items=max(2000, n_outfits),
+        d_embed=model_cfg.d_embed,
+        n_outfits=n_outfits,
+        max_len=model_cfg.max_outfit_len,
+        seed=seed,
+    )
+
+
+_common = [
+    click.option("--mode", type=click.Choice(["train-valid", "test"]), default=None,
+                 help="default: train-valid (fitb: test)"),
+    click.option("--synthetic", is_flag=True, help="use generated data"),
+    click.option("--dataset-dir", default="datasets/polyvore"),
+    click.option("--checkpoint-dir", default="checkpoints"),
+    click.option("--epochs", type=int, default=None),
+    click.option("--batch-size", type=int, default=None),
+    click.option("--lr", type=float, default=None),
+    click.option("--mesh-data", type=int, default=-1),
+    click.option("--mesh-model", type=int, default=1),
+    click.option("--encoder", type=click.Choice(["siglip", "clip", "resnet_sbert"]), default="siglip"),
+]
+
+
+def common_options(f):
+    for opt in reversed(_common):
+        f = opt(f)
+    return f
+
+
+def _resolve_mode(kw, default="train-valid"):
+    return kw["mode"] or default
+
+
+def _build_cfg(cls, kw, **extra):
+    overrides = dict(
+        dataset_dir=kw["dataset_dir"],
+        checkpoint_dir=kw["checkpoint_dir"],
+        mesh=MeshConfig(data=kw["mesh_data"], model=kw["mesh_model"]),
+        **extra,
+    )
+    if kw["epochs"] is not None:
+        overrides["n_epochs"] = kw["epochs"]
+    if kw["batch_size"] is not None:
+        overrides["batch_size"] = kw["batch_size"]
+    cfg = cls(**overrides)
+    if kw["lr"] is not None:
+        cfg = dataclasses.replace(
+            cfg, optimizer=dataclasses.replace(cfg.optimizer, learning_rate=kw["lr"])
+        )
+    return cfg
+
+
+def _model_cfg(kw) -> OutfitXConfig:
+    from outfitx_tpu.core.config import ItemEncoderConfig
+
+    return OutfitXConfig(
+        item_encoder=ItemEncoderConfig.for_type(kw["encoder"])
+    )
+
+
+@click.group()
+def cli() -> None:
+    """OutfitX-TPU command line."""
+
+
+@cli.command()
+@common_options
+def cp(**kw):
+    """Compatibility-prediction training/eval (reference run/cp.py)."""
+    from outfitx_tpu.train.cp_trainer import CPTrainer
+
+    model_cfg = _model_cfg(kw)
+    cfg = _build_cfg(CPTrainConfig, kw)
+    kwargs = {}
+    if kw["synthetic"]:
+        data = _synth(model_cfg)
+        kwargs = dict(
+            catalog=data.catalog,
+            train_split=data.cp_train,
+            valid_split=data.cp_valid,
+        )
+    with CPTrainer(cfg, model_cfg, _resolve_mode(kw), **kwargs) as t:
+        result = t.run()
+    click.echo(json.dumps(result))
+
+
+@cli.command()
+@common_options
+@click.option("--warm-start-from", default=None, help="CP checkpoint path")
+@click.option("--switch-to-hard-epoch", type=int, default=None)
+def cir(warm_start_from, switch_to_hard_epoch, **kw):
+    """Complementary-item-retrieval training/eval (reference run/cir.py)."""
+    from outfitx_tpu.train.cir_trainer import CIRTrainer
+
+    model_cfg = _model_cfg(kw)
+    extra = {"warm_start_from": warm_start_from}
+    if switch_to_hard_epoch is not None:
+        extra["switch_to_hard_epoch"] = switch_to_hard_epoch
+    cfg = _build_cfg(CIRTrainConfig, kw, **extra)
+    kwargs = {}
+    if kw["synthetic"]:
+        data = _synth(model_cfg)
+        kwargs = dict(
+            catalog=data.catalog,
+            train_split=data.cir_train,
+            valid_split=data.cir_valid,
+            pool_threshold=1,
+        )
+    with CIRTrainer(cfg, model_cfg, _resolve_mode(kw), **kwargs) as t:
+        result = t.run()
+    click.echo(json.dumps(result))
+
+
+@cli.command()
+@common_options
+@click.option("--checkpoint-from", default=None, help="CIR checkpoint path")
+def fitb(checkpoint_from, **kw):
+    """Fill-in-the-blank evaluation (reference run/fitb.py; test-only)."""
+    from outfitx_tpu.train.fitb_trainer import FITBTrainer
+
+    if _resolve_mode(kw, default="test") != "test":
+        raise click.UsageError("fitb supports --mode=test only")
+    model_cfg = _model_cfg(kw)
+    cfg = _build_cfg(FITBTrainConfig, kw, checkpoint_from=checkpoint_from)
+    kwargs = {}
+    if kw["synthetic"]:
+        data = _synth(model_cfg)
+        kwargs = dict(catalog=data.catalog, test_split=data.fitb_test)
+    with FITBTrainer(cfg, model_cfg, "test", **kwargs) as t:
+        result = t.run()
+    click.echo(json.dumps(result))
+
+
+@cli.command()
+@common_options
+@click.option("--output-dir", default=None, help="embedding shard output dir")
+def pes(output_dir, **kw):
+    """Precompute-embedding sweep over the item catalog (reference run/pes.py)."""
+    from outfitx_tpu.core.config import PrecomputeConfig
+    from outfitx_tpu.train.precompute import PrecomputeRunner
+
+    model_cfg = _model_cfg(kw)
+    cfg = _build_cfg(PrecomputeConfig, kw)
+    runner = PrecomputeRunner(cfg, model_cfg, output_dir=output_dir)
+    result = runner.run()
+    click.echo(json.dumps(result))
+
+
+@cli.command()
+@click.option("--port", type=int, default=6006)
+@click.option("--synthetic", is_flag=True)
+@click.option("--mock", is_flag=True, help="UI smoke test with fake predictions")
+def demo(port, synthetic, mock):
+    """Serving demo (reference src/demo/app.py, port 6006)."""
+    from outfitx_tpu.serve.app import serve
+
+    serve(port=port, synthetic=synthetic, mock=mock)
+
+
+def main() -> None:
+    cli()
+
+
+if __name__ == "__main__":
+    main()

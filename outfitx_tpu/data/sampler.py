@@ -135,13 +135,16 @@ def cir_train_batches(
     n_negatives: int = 10,
     sample_mode: str = "easy",
     max_len: int = 16,
+    sampler: Optional[NegativeSampler] = None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yields CIR train super-batches (see steps.make_cir_train_step).
 
     Per example: pick a positive among eligible members, the partial outfit is
     the remaining items (shuffled), negatives share the positive's category
-    key (reference __getitem__: :50-67)."""
-    sampler = NegativeSampler(catalog, sample_mode)
+    key (reference __getitem__: :50-67). Pass a prebuilt ``sampler`` to avoid
+    rebuilding pools every epoch."""
+    if sampler is None:
+        sampler = NegativeSampler(catalog, sample_mode)
     n = len(split)
     rng = _epoch_rng(seed, epoch, 1)
     order = rng.permutation(n)
@@ -259,9 +262,7 @@ class CandidatePools:
                 ]
             )[:pool_size]
             rng.shuffle(total)
-            if len(total) < pool_size:  # small catalogs (tests): pad w/ wrap
-                total = np.concatenate(
-                    [total, total[: pool_size - len(total)]]
-                )
+            if len(total) < pool_size:  # small catalogs (tests): cyclic pad
+                total = np.resize(total, pool_size)
             pools[cid] = total
         return cls(pools=pools, pool_size=pool_size)

@@ -1,0 +1,248 @@
+"""Complementary-item-retrieval trainer (reference
+complementary_item_retrieval_trainer.py, rebuilt TPU-native).
+
+Semantics preserved: warm start from the CP best-AUC checkpoint (:344-359),
+curriculum switch easy -> hard negatives at epoch 150 (:47-65), set-wise
+ranking loss margin 2 (:459-460), Recall@{1,5,10,15,30,50} against
+per-category 3000-item pools computed every 5 epochs or after the switch
+(:173-181), checkpoints only after the switch epoch (:297-310).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from outfitx_tpu.core.config import CIRTrainConfig, OutfitXConfig
+from outfitx_tpu.data.catalog import Catalog
+from outfitx_tpu.data.sampler import (
+    CandidatePools,
+    NegativeSampler,
+    cir_eval_queries,
+    cir_train_batches,
+    eval_batches,
+)
+from outfitx_tpu.data.splits import OutfitSplit
+from outfitx_tpu.evalm.retrieval_eval import recall_over_pools
+from outfitx_tpu.losses import set_wise_ranking_loss
+from outfitx_tpu.models import OutfitXModel
+from outfitx_tpu.train.harness import Trainer
+from outfitx_tpu.train.optim import make_optimizer
+from outfitx_tpu.train.state import TrainState
+from outfitx_tpu.train.steps import make_cir_eval_step, make_cir_train_step
+
+
+class CIRTrainer(Trainer):
+    def __init__(
+        self,
+        cfg: CIRTrainConfig,
+        model_cfg: Optional[OutfitXConfig] = None,
+        run_mode: str = "train-valid",
+        *,
+        catalog: Optional[Catalog] = None,
+        train_split: Optional[OutfitSplit] = None,
+        valid_split: Optional[OutfitSplit] = None,
+        eval_batch_size: Optional[int] = None,
+        pool_threshold: Optional[int] = None,
+    ):
+        super().__init__(cfg, run_mode)
+        self.model_cfg = model_cfg or OutfitXConfig()
+        self._catalog = catalog
+        self._train_split = train_split
+        self._valid_split = valid_split
+        self.eval_batch_size = eval_batch_size or cfg.batch_size
+        # pool-eligibility threshold; tests shrink it for tiny catalogs
+        self.pool_threshold = (
+            pool_threshold
+            if pool_threshold is not None
+            else cfg.candidate_pool_size
+        )
+
+    @property
+    def model_name(self) -> str:
+        return f"{self.model_cfg.model_name}-cir"
+
+    def best_metrics(self) -> Dict[str, str]:
+        return {"recall@1": "max", "loss": "min"}
+
+    # ------------------------------------------------------------ setup --
+    def load_model(self) -> None:
+        self.model = OutfitXModel(self.model_cfg)
+        key = jax.random.PRNGKey(self.cfg.seed)
+        pkey, dkey = jax.random.split(key)
+        self.init_params = self.model.init(pkey)
+        self.init_rng = dkey
+
+    def load_optimizer(self) -> None:
+        n_train = len(self._train_split) if self._train_split is not None else 0
+        super_b = self.cfg.batch_size * self.cfg.accumulation_steps
+        steps_per_epoch = max(n_train // super_b, 1)
+        self.total_steps = steps_per_epoch * self.cfg.n_epochs
+        self.tx = make_optimizer(self.cfg.optimizer, self.total_steps)
+        self.state = TrainState.create(self.init_params, self.tx, self.init_rng)
+        self.train_step = make_cir_train_step(
+            self.model, self.tx, margin=self.cfg.margin
+        )
+        self.eval_step = make_cir_eval_step(self.model)
+
+    def setup_data(self) -> None:
+        if self._catalog is None:
+            self._catalog = Catalog.from_polyvore(
+                self.cfg.dataset_dir, model_name=self.model_cfg.model_name
+            )
+            self._train_split = OutfitSplit.load(
+                self._catalog, self.cfg.dataset_dir, self.cfg.polyvore_type,
+                "train", self.model_cfg.max_outfit_len,
+            )
+            self._valid_split = OutfitSplit.load(
+                self._catalog, self.cfg.dataset_dir, self.cfg.polyvore_type,
+                "valid", self.model_cfg.max_outfit_len,
+            )
+            self.load_optimizer()
+        self.catalog_dev = jnp.asarray(self._catalog.embeddings)
+        self._samplers = {
+            "easy": NegativeSampler(self._catalog, "easy"),
+            "hard": NegativeSampler(self._catalog, "hard"),
+        }
+        self._eval_queries = cir_eval_queries(
+            self._valid_split,
+            self._catalog,
+            seed=self.cfg.seed,
+            max_len=self.model_cfg.max_outfit_len,
+        )
+        self._pools = CandidatePools.build(
+            self._catalog,
+            self._valid_split,
+            pool_size=self.cfg.candidate_pool_size,
+            threshold=self.pool_threshold,
+            seed=self.cfg.seed,
+        )
+        self.log(
+            f"CIR data: train {len(self._train_split)} outfits, valid "
+            f"{len(self._valid_split)}; {len(self._pools.pools)} candidate "
+            f"pools x {self._pools.pool_size}"
+        )
+
+    def hook_after_setup(self) -> None:
+        """Warm start from CP best-AUC params (reference :344-359)."""
+        path = self.cfg.warm_start_from
+        if path:
+            payload = self.ckpt.restore(path)
+            self.state = self.state.replace(params=payload["params"])
+            self.log(f"warm-started params from {path}")
+
+    # ------------------------------------------------------------ train --
+    def _mode_for_epoch(self, epoch: int) -> str:
+        return "easy" if epoch < self.cfg.switch_to_hard_epoch else "hard"
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        mode = self._mode_for_epoch(epoch)
+        losses = []
+        for batch in cir_train_batches(
+            self._train_split,
+            self._catalog,
+            batch_size=self.cfg.batch_size,
+            accum_steps=self.cfg.accumulation_steps,
+            epoch=epoch,
+            seed=self.cfg.seed,
+            n_negatives=self.cfg.n_negatives,
+            max_len=self.model_cfg.max_outfit_len,
+            sampler=self._samplers[mode],
+        ):
+            self.state, out = self.train_step(self.state, self.catalog_dev, batch)
+            losses.append(out["loss"])
+        if not losses:
+            return {}
+        return {
+            "loss": float(np.mean(jax.device_get(losses))),
+            "neg_mode": 1.0 if mode == "hard" else 0.0,
+        }
+
+    # ------------------------------------------------------------- eval --
+    def _predict_targets(self) -> np.ndarray:
+        """y_hats (n, D) for all eval queries."""
+        q = self._eval_queries
+        outs = []
+        valids = []
+        for batch in eval_batches(
+            {
+                "item_idx": q["item_idx"],
+                "mask": q["mask"],
+                "pos_idx": q["pos_idx"],
+            },
+            batch_size=self.eval_batch_size,
+        ):
+            y = self.eval_step(
+                self.state.params,
+                self.catalog_dev,
+                batch["item_idx"],
+                batch["mask"],
+                batch["pos_idx"],
+            )
+            outs.append(np.asarray(jax.device_get(y)))
+            valids.append(batch["valid"])
+        valid = np.concatenate(valids)
+        return np.concatenate(outs)[valid]
+
+    def _eval_loss(self, epoch: int) -> float:
+        """Ranking loss on eval queries with freshly sampled negatives
+        (mirrors reference valid_epoch :122-170)."""
+        q = self._eval_queries
+        n = len(q["pos_idx"])
+        mode = self._mode_for_epoch(epoch)
+        sampler = self._samplers[mode]
+        rng = np.random.default_rng([self.cfg.seed, epoch, 9])
+        k = self.cfg.n_negatives
+        neg_idx = np.zeros((n, k), dtype=np.int32)
+        neg_mask = np.ones((n, k), dtype=bool)
+        for i in range(n):
+            neg_idx[i], neg_mask[i] = sampler.sample(int(q["pos_idx"][i]), k, rng)
+        y_hats = self._predict_targets()
+        pos = self._catalog.embeddings[q["pos_idx"]]
+        negs = self._catalog.embeddings[neg_idx]
+        loss = set_wise_ranking_loss(
+            jnp.asarray(pos),
+            jnp.asarray(y_hats),
+            jnp.asarray(negs),
+            jnp.asarray(neg_mask),
+            margin=self.cfg.margin,
+        )
+        return float(loss)
+
+    def valid_epoch(self, epoch: int) -> Dict[str, float]:
+        metrics: Dict[str, float] = {"loss": self._eval_loss(epoch)}
+        if (
+            epoch % self.cfg.recall_every == 0
+            or epoch >= self.cfg.switch_to_hard_epoch
+        ):
+            y_hats = self._predict_targets()
+            q = self._eval_queries
+            metrics.update(
+                recall_over_pools(
+                    y_hats,
+                    q["pos_idx"],
+                    q["pos_category"],
+                    self._pools,
+                    self.catalog_dev,
+                    ks=self.cfg.recall_ks,
+                )
+            )
+        # reference: checkpoints only after the curriculum switch (:297-310)
+        if epoch >= self.cfg.switch_to_hard_epoch and "recall@1" in metrics:
+            self.maybe_save_best(metrics, params=self.state.params, epoch=epoch)
+        return metrics
+
+    def test(self) -> Dict[str, float]:
+        y_hats = self._predict_targets()
+        q = self._eval_queries
+        return recall_over_pools(
+            y_hats,
+            q["pos_idx"],
+            q["pos_category"],
+            self._pools,
+            self.catalog_dev,
+            ks=self.cfg.recall_ks,
+        )
