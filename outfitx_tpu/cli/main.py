@@ -174,7 +174,12 @@ def pes(output_dir, **kw):
 
     model_cfg = _model_cfg(kw)
     cfg = _build_cfg(PrecomputeConfig, kw)
-    runner = PrecomputeRunner(cfg, model_cfg, output_dir=output_dir)
+    runner = PrecomputeRunner(
+        cfg,
+        model_cfg,
+        output_dir=output_dir,
+        synthetic_items=4096 if kw["synthetic"] else 0,
+    )
     result = runner.run()
     click.echo(json.dumps(result))
 

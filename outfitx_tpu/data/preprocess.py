@@ -1,0 +1,65 @@
+"""Image preprocessing: host decode/resize to uint8, device normalize.
+
+The reference preprocesses on CPU inside the torch transforms pipeline per
+batch (slip_image_encoder.py:35-47, resnet18_image_encoder.py:41-46). Here
+the host does the irreducible part only (JPEG decode + resize + center-crop
+to uint8) and ships compact uint8 to the device, where a jitted normalize
+((x/255 - mean)/std) runs fused into the encoder — 4x less host->HBM
+traffic than shipping f32.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# torchvision/open_clip normalization constants per tower family
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+SIGLIP_MEAN = (0.5, 0.5, 0.5)
+SIGLIP_STD = (0.5, 0.5, 0.5)
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+STATS = {
+    "clip": (CLIP_MEAN, CLIP_STD),
+    "siglip": (SIGLIP_MEAN, SIGLIP_STD),
+    "resnet_sbert": (IMAGENET_MEAN, IMAGENET_STD),
+}
+
+
+def load_image_uint8(path_or_img, size: int) -> np.ndarray:
+    """Host side: decode + bicubic resize (short side) + center crop ->
+    (3, size, size) uint8, channel-first."""
+    from PIL import Image
+
+    img = (
+        Image.open(path_or_img)
+        if isinstance(path_or_img, (str, bytes)) or hasattr(path_or_img, "read")
+        else path_or_img
+    )
+    img = img.convert("RGB")
+    w, h = img.size
+    scale = size / min(w, h)
+    nw, nh = round(w * scale), round(h * scale)
+    img = img.resize((nw, nh), Image.BICUBIC)
+    left = (nw - size) // 2
+    top = (nh - size) // 2
+    img = img.crop((left, top, left + size, top + size))
+    return np.asarray(img, dtype=np.uint8).transpose(2, 0, 1)
+
+
+def make_normalizer(encoder_type: str):
+    """Jittable (B, 3, H, W) uint8 -> f32 normalized."""
+    mean, std = STATS[encoder_type]
+    mean_a = jnp.asarray(mean, dtype=jnp.float32).reshape(1, 3, 1, 1)
+    std_a = jnp.asarray(std, dtype=jnp.float32).reshape(1, 3, 1, 1)
+
+    def normalize(x_uint8: jax.Array) -> jax.Array:
+        x = x_uint8.astype(jnp.float32) / 255.0
+        return (x - mean_a) / std_a
+
+    return normalize

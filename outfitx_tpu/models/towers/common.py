@@ -1,0 +1,121 @@
+"""Shared transformer-encoder core for the frozen CLIP/SigLIP-family towers.
+
+The reference consumes these towers through HuggingFace/open_clip torch
+modules (reference src/models/encoders/image_encoders/clip_image_encoder.py,
+slip_image_encoder.py); here they are native JAX functions over param
+pytrees, numerically matching the HF architectures so pretrained weights
+port 1:1 (models/convert.py).
+
+Layer structure (CLIP + SigLIP both): pre-LN residual blocks,
+x = x + attn(ln1(x)); x = x + mlp(ln2(x)); biased QKV/out projections.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from outfitx_tpu.ops import layer_norm, masked_mha
+
+
+def quick_gelu(x):
+    """CLIP's activation: x * sigmoid(1.702 x)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def gelu_tanh(x):
+    return jax.nn.gelu(x, approximate=True)
+
+
+ACTIVATIONS: dict[str, Callable] = {
+    "quick_gelu": quick_gelu,
+    "gelu_tanh": gelu_tanh,
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+}
+
+
+def init_linear(key, d_in, d_out, dtype=jnp.float32, bias=True):
+    bound = 1.0 / (d_in**0.5)
+    k1, k2 = jax.random.split(key)
+    p = {
+        "w": jax.random.uniform(
+            k1, (d_in, d_out), minval=-bound, maxval=bound, dtype=dtype
+        )
+    }
+    if bias:
+        p["b"] = jax.random.uniform(
+            k2, (d_out,), minval=-bound, maxval=bound, dtype=dtype
+        )
+    return p
+
+
+def linear(p, x):
+    y = jnp.dot(x, p["w"].astype(x.dtype))
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def init_ln(d, dtype=jnp.float32):
+    return {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
+
+
+def init_encoder_layers(key, *, d, n_heads, d_mlp, n_layers, dtype=jnp.float32):
+    def one(k):
+        ks = jax.random.split(k, 6)
+        return {
+            "ln1": init_ln(d, dtype),
+            "ln2": init_ln(d, dtype),
+            "attn": {
+                "q": init_linear(ks[0], d, d, dtype),
+                "k": init_linear(ks[1], d, d, dtype),
+                "v": init_linear(ks[2], d, d, dtype),
+                "o": init_linear(ks[3], d, d, dtype),
+            },
+            "mlp": {
+                "fc1": init_linear(ks[4], d, d_mlp, dtype),
+                "fc2": init_linear(ks[5], d_mlp, d, dtype),
+            },
+        }
+
+    keys = jax.random.split(key, n_layers)
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *[one(k) for k in keys])
+
+
+def apply_encoder(
+    layers,
+    x: jax.Array,  # (B, S, D)
+    *,
+    n_heads: int,
+    act: str,
+    pad_mask: Optional[jax.Array] = None,  # (B, S) True = pad
+    causal: bool = False,
+    ln_eps: float = 1e-5,
+):
+    b, s, d = x.shape
+    dh = d // n_heads
+    act_fn = ACTIVATIONS[act]
+    if pad_mask is None:
+        pad_mask = jnp.zeros((b, s), dtype=bool)
+
+    def block(carry, lp):
+        h = carry
+        y = layer_norm(h, lp["ln1"]["scale"], lp["ln1"]["bias"], eps=ln_eps)
+
+        def heads(t):
+            return t.reshape(b, s, n_heads, dh).transpose(0, 2, 1, 3)
+
+        q = heads(linear(lp["attn"]["q"], y))
+        k = heads(linear(lp["attn"]["k"], y))
+        v = heads(linear(lp["attn"]["v"], y))
+        o = masked_mha(q, k, v, pad_mask, causal=causal)
+        o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
+        h = h + linear(lp["attn"]["o"], o)
+        y = layer_norm(h, lp["ln2"]["scale"], lp["ln2"]["bias"], eps=ln_eps)
+        h = h + linear(lp["mlp"]["fc2"], act_fn(linear(lp["mlp"]["fc1"], y)))
+        return h, None
+
+    x, _ = jax.lax.scan(block, x, layers)
+    return x

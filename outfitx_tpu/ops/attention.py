@@ -26,7 +26,7 @@ from outfitx_tpu.ops.common import cdiv, round_up, use_interpret
 _NEG = -1e9
 
 
-def _mha_reference(q, k, v, pad_mask):
+def _mha_reference(q, k, v, pad_mask, causal: bool = False):
     """XLA path: einsum attention, f32 softmax, bf16 matmuls."""
     dh = q.shape[-1]
     scale = 1.0 / (dh**0.5)
@@ -36,6 +36,10 @@ def _mha_reference(q, k, v, pad_mask):
     scores = scores * scale
     mask = pad_mask[:, None, None, :]  # (B,1,1,L) over keys
     scores = jnp.where(mask, _NEG, scores)
+    if causal:
+        l = q.shape[2]
+        tri = jnp.tril(jnp.ones((l, l), dtype=bool))
+        scores = jnp.where(tri[None, None], scores, _NEG)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
         "bhlm,bhmd->bhld",
@@ -74,7 +78,16 @@ def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
 
 def _mha_pallas_impl(q, k, v, pad_mask):
     b, h, l, dh = q.shape
-    tile_b = max(1, min(64, b))
+    # The per-program batched dot_general unrolls over the batch tile; keep
+    # tile_b * l bounded or the Mosaic compiler blows up (empirically:
+    # (64, l=50) crashes, (8, l=50) and (64, l=17) compile fine).
+    if l <= 32:
+        cap = 64
+    elif l <= 128:
+        cap = 8
+    else:
+        cap = 4
+    tile_b = max(1, min(cap, b))
     pad_b = round_up(b, tile_b)
     if pad_b != b:
         pad = ((0, pad_b - b), (0, 0), (0, 0), (0, 0))
@@ -126,13 +139,20 @@ def _mha_bwd(res, g):
 _mha_pallas.defvjp(_mha_fwd, _mha_bwd)
 
 
-def masked_mha(q, k, v, pad_mask, *, impl: str = "auto"):
-    """Multi-head attention with key-padding mask (True = pad).
+def masked_mha(q, k, v, pad_mask, *, causal: bool = False, impl: str = "auto"):
+    """Multi-head attention with key-padding mask (True = pad) and optional
+    causal masking (text towers).
 
     q, k, v: (B, H, L, Dh); pad_mask: (B, L) bool. Returns (B, H, L, Dh).
     """
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl == "pallas":
+        # Pallas wins for the tiny-L set attention it is specialized for
+        # (+22% end-to-end at L=17 on v5e); at tower sequence lengths
+        # (L=50 ViT-B/32, 197 ViT-B/16, 64-77 text) XLA's fused attention is
+        # already near-optimal and the Pallas small-tile variant compiles
+        # slowly, so route long sequences to XLA.
+        use_pallas = jax.default_backend() == "tpu" and q.shape[2] <= 32
+        impl = "pallas" if use_pallas else "xla"
+    if impl == "pallas" and not causal:
         return _mha_pallas(q, k, v, pad_mask)
-    return _mha_reference(q, k, v, pad_mask)
+    return _mha_reference(q, k, v, pad_mask, causal=causal)

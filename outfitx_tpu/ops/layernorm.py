@@ -101,7 +101,7 @@ def _ln_bwd(res, g):
 _ln_pallas.defvjp(_ln_fwd, _ln_bwd)
 
 
-def layer_norm(x, scale, bias, *, impl: str = "auto"):
+def layer_norm(x, scale, bias, *, eps: float = _EPS, impl: str = "auto"):
     """LayerNorm over the last axis.
 
     impl: 'xla' | 'pallas' | 'auto'. 'auto' resolves to 'xla': benchmarked on
@@ -113,5 +113,7 @@ def layer_norm(x, scale, bias, *, impl: str = "auto"):
     if impl == "auto":
         impl = "xla"
     if impl == "pallas":
+        if eps != _EPS:
+            raise NotImplementedError("pallas LN kernel is specialized to eps=1e-5")
         return _ln_pallas(x, scale, bias)
-    return _ln_reference(x, scale, bias)
+    return _ln_reference(x, scale, bias, eps=eps)

@@ -1,0 +1,197 @@
+"""Catalog embedding-precompute sweep (reference
+precompute_embedding_script.py, rebuilt TPU-native).
+
+The reference pushes PIL images through frozen torch towers batch-by-batch
+with per-batch H2D copies of f32 tensors (SURVEY.md 3.1 flags host
+preprocessing + H2D as the bottleneck). Here: the host decodes/resizes to
+uint8 on a background prefetch thread (double buffering), uint8 ships to
+HBM (4x smaller), and normalize+encode runs as one jitted device program.
+Output shards are pickled {ids, embeddings} files byte-compatible with both
+the reference loader and our Catalog.from_polyvore.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import pickle
+import queue
+import threading
+import time
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from outfitx_tpu.core.config import OutfitXConfig, PrecomputeConfig
+from outfitx_tpu.data.preprocess import load_image_uint8
+from outfitx_tpu.data.tokenizer import load_tokenizer
+from outfitx_tpu.models.item_encoder import ItemEncoderModel
+
+
+def _prefetch(it: Iterator, depth: int = 2) -> Iterator:
+    """Background-thread prefetcher: overlaps host decode with device work."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for x in it:
+                q.put(x)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        x = q.get()
+        if x is _END:
+            return
+        yield x
+
+
+class PrecomputeRunner:
+    def __init__(
+        self,
+        cfg: PrecomputeConfig,
+        model_cfg: Optional[OutfitXConfig] = None,
+        *,
+        output_dir: Optional[str] = None,
+        params=None,
+        synthetic_items: int = 0,
+        encoder: Optional[ItemEncoderModel] = None,
+    ):
+        self.cfg = cfg
+        self.model_cfg = model_cfg or OutfitXConfig()
+        self.encoder = encoder or ItemEncoderModel(self.model_cfg.item_encoder)
+        self.params = params
+        self.output_dir = pathlib.Path(
+            output_dir
+            or pathlib.Path(cfg.dataset_dir) / "precomputed_embeddings"
+        )
+        self.synthetic_items = synthetic_items
+        self.tokenizer = load_tokenizer(
+            self.model_cfg.item_encoder.text_model_name,
+            vocab_size=self.encoder.text.cfg.vocab_size,
+        )
+
+        @jax.jit
+        def _encode(params, images_uint8, input_ids, attention_mask):
+            return self.encoder.encode(
+                params, images_uint8, input_ids, attention_mask
+            )
+
+        self._encode = _encode
+
+    # ------------------------------------------------------------- data --
+    def _iter_items(self) -> Iterator[Tuple[int, np.ndarray, str]]:
+        """Yields (item_id, image_uint8 (3,S,S), category_text)."""
+        size = self.encoder.image_size
+        if self.synthetic_items:
+            rng = np.random.default_rng(self.cfg.seed)
+            for i in range(self.synthetic_items):
+                img = rng.integers(0, 256, (3, size, size), dtype=np.uint8)
+                yield 10_000 + i, img, f"category {i % 13}"
+            return
+        dataset_dir = pathlib.Path(self.cfg.dataset_dir)
+        with open(dataset_dir / "item_metadata.json", encoding="utf-8") as f:
+            metadata = json.load(f)
+        with open(dataset_dir / "categories.json", encoding="utf-8") as f:
+            categories = json.load(f)
+        for m in metadata:
+            iid = int(m["item_id"])
+            img_path = dataset_dir / "images" / f"{iid}.jpg"
+            if not img_path.exists():
+                continue
+            img = load_image_uint8(str(img_path), size)
+            # text = resolved category name (reference PE processor,
+            # outfit_x_precompute_embedding_processor.py:8-17)
+            text = categories.get(str(m.get("category_id", "")), "")
+            yield iid, img, text
+
+    def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        b = self.cfg.batch_size
+        size = self.encoder.image_size
+        ids: List[int] = []
+        imgs = np.zeros((b, 3, size, size), dtype=np.uint8)
+        texts: List[str] = []
+        n = 0
+        for iid, img, text in self._iter_items():
+            ids.append(iid)
+            imgs[n] = img
+            texts.append(text)
+            n += 1
+            if n == b:
+                yield self._finalize(ids, imgs.copy(), texts, n)
+                ids, texts, n = [], [], 0
+        if n:
+            yield self._finalize(ids, imgs.copy(), texts, n)
+
+    def _finalize(self, ids, imgs, texts, n) -> Dict[str, np.ndarray]:
+        max_len = min(
+            self.model_cfg.item_encoder.text_max_length,
+            self.encoder.text.cfg.max_len,
+        )
+        # pad the trailing partial batch (static shapes for XLA)
+        while len(texts) < imgs.shape[0]:
+            texts.append("")
+        input_ids, attn = self.tokenizer(texts, max_length=max_len)
+        return {
+            "ids": np.asarray(ids, dtype=np.int64),
+            "n": n,
+            "images": imgs,
+            "input_ids": input_ids,
+            "attention_mask": attn,
+        }
+
+    # -------------------------------------------------------------- run --
+    def run(self) -> Dict[str, float]:
+        if self.params is None:
+            self.params = self.encoder.init(jax.random.PRNGKey(self.cfg.seed))
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        model_name = self.model_cfg.model_name
+        shard_items = 50_000
+        shard_idx, done = 0, 0
+        cur_ids: List[np.ndarray] = []
+        cur_embs: List[np.ndarray] = []
+        t0 = time.perf_counter()
+        for batch in _prefetch(self._batches()):
+            emb = self._encode(
+                self.params,
+                jnp.asarray(batch["images"]),
+                jnp.asarray(batch["input_ids"]),
+                jnp.asarray(batch["attention_mask"]),
+            )
+            emb = np.asarray(jax.device_get(emb))[: batch["n"]]
+            cur_ids.append(batch["ids"])
+            cur_embs.append(emb)
+            done += batch["n"]
+            if sum(len(i) for i in cur_ids) >= shard_items:
+                self._write_shard(model_name, shard_idx, cur_ids, cur_embs)
+                shard_idx += 1
+                cur_ids, cur_embs = [], []
+        if cur_ids:
+            self._write_shard(model_name, shard_idx, cur_ids, cur_embs)
+            shard_idx += 1
+        dt = time.perf_counter() - t0
+        return {
+            "items": done,
+            "shards": shard_idx,
+            "seconds": round(dt, 2),
+            "items_per_sec": round(done / max(dt, 1e-9), 1),
+        }
+
+    def _write_shard(self, model_name, idx, ids, embs):
+        path = (
+            self.output_dir
+            / f"{model_name}_{self.cfg.shard_prefix}{idx}.pkl"
+        )
+        with open(path, "wb") as f:
+            pickle.dump(
+                {
+                    "ids": np.concatenate(ids).tolist(),
+                    "embeddings": np.concatenate(embs),
+                },
+                f,
+            )
