@@ -1,0 +1,201 @@
+"""Demo web app (reference src/demo/app.py: Gradio Blocks on port 6006,
+and src/demo/test.py: the mock UI smoke test).
+
+Gradio is not available in this environment, so the demo is a dependency-free
+stdlib HTTP server with the same three surfaces (CP score / CIR top-10 /
+FITB pick) exposed both as a minimal HTML UI and a JSON API:
+
+    GET  /                 HTML UI
+    GET  /api/sample?n=4   random outfit from the catalog
+    POST /api/cp           {"outfit": [ids]}               -> {"score"}
+    POST /api/cir          {"outfit": [ids], "target": id} -> {"items": [...]}
+    POST /api/fitb         {"outfit": [ids], "candidates": [ids]} -> {"pick"}
+"""
+
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+_HTML = """<!doctype html>
+<html><head><title>OutfitX-TPU demo</title>
+<style>body{font-family:sans-serif;max-width:720px;margin:2em auto}
+textarea{width:100%%}pre{background:#f4f4f4;padding:1em}</style></head>
+<body>
+<h1>OutfitX-TPU demo</h1>
+<p>Tasks: compatibility score (CP), complementary-item retrieval (CIR),
+fill-in-the-blank (FITB). Enter item ids comma-separated.
+<a href="#" onclick="sample()">sample a random outfit</a></p>
+<h3>Outfit</h3><textarea id="outfit" rows="2"></textarea>
+<h3>CP</h3><button onclick="cp()">score outfit</button>
+<h3>CIR</h3>target item id: <input id="target">
+<button onclick="cir()">retrieve top-10</button>
+<h3>FITB</h3>candidates: <input id="cands" size="40">
+<button onclick="fitb()">pick</button>
+<h3>Result</h3><pre id="out"></pre>
+<script>
+const out = (x) => document.getElementById('out').textContent =
+  JSON.stringify(x, null, 2);
+const ids = () => document.getElementById('outfit').value
+  .split(',').map(s => parseInt(s.trim())).filter(Number.isFinite);
+async function post(path, body) {
+  const r = await fetch(path, {method:'POST', body: JSON.stringify(body)});
+  out(await r.json());
+}
+async function sample() {
+  const r = await fetch('/api/sample?n=4'); const j = await r.json();
+  document.getElementById('outfit').value = j.outfit.join(', '); out(j);
+}
+const cp = () => post('/api/cp', {outfit: ids()});
+const cir = () => post('/api/cir', {outfit: ids(),
+  target: parseInt(document.getElementById('target').value)});
+const fitb = () => post('/api/fitb', {outfit: ids(),
+  candidates: document.getElementById('cands').value.split(',')
+    .map(s => parseInt(s.trim()))});
+</script></body></html>"""
+
+
+def make_handler(engine):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload, content_type="application/json"):
+            body = (
+                payload.encode()
+                if isinstance(payload, str)
+                else json.dumps(payload).encode()
+            )
+            self.send_response(code)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/" or self.path.startswith("/index"):
+                return self._send(200, _HTML, "text/html")
+            if self.path.startswith("/api/sample"):
+                n = 4
+                if "n=" in self.path:
+                    try:
+                        n = int(self.path.split("n=")[1].split("&")[0])
+                    except ValueError:
+                        pass
+                return self._send(200, {"outfit": engine.sample_outfit(n)})
+            if self.path.startswith("/api/health"):
+                return self._send(200, {"ok": True, "mock": engine.mock})
+            return self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                if self.path == "/api/cp":
+                    return self._send(
+                        200, {"score": engine.cp_score(req["outfit"])}
+                    )
+                if self.path == "/api/cir":
+                    return self._send(
+                        200,
+                        {
+                            "items": engine.cir_top10(
+                                req["outfit"], req["target"]
+                            )
+                        },
+                    )
+                if self.path == "/api/fitb":
+                    return self._send(
+                        200,
+                        {
+                            "pick": engine.fitb_pick(
+                                req["outfit"], req["candidates"]
+                            )
+                        },
+                    )
+                return self._send(404, {"error": "not found"})
+            except KeyError as e:
+                from outfitx_tpu.serve.engine import UnknownItemError
+
+                if isinstance(e, UnknownItemError):
+                    return self._send(404, {"error": str(e.args[0])})
+                return self._send(400, {"error": f"missing field {e}"})
+            except Exception as e:  # surface errors to the client
+                return self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+    return Handler
+
+
+def build_engine(
+    *,
+    synthetic: bool = False,
+    mock: bool = False,
+    model_cfg=None,
+    dataset_dir: str = "datasets/polyvore",
+    checkpoint_dir: str = "checkpoints",
+):
+    """Engine wiring (reference app.py loads CP + CIR checkpoints and the
+    embedding catalog at module import, :51-116)."""
+    import jax
+
+    from outfitx_tpu.core.config import OutfitXConfig
+    from outfitx_tpu.data.catalog import Catalog
+    from outfitx_tpu.models import OutfitXModel
+    from outfitx_tpu.serve.engine import ServingEngine
+    from outfitx_tpu.train.checkpoint import CheckpointManager
+
+    model_cfg = model_cfg or OutfitXConfig()
+    if synthetic:
+        from outfitx_tpu.data.synthetic import make_synthetic
+
+        data = make_synthetic(
+            n_items=2000,
+            d_embed=model_cfg.d_embed,
+            n_outfits=256,
+            max_len=model_cfg.max_outfit_len,
+        )
+        catalog = data.catalog
+    else:
+        catalog = Catalog.from_polyvore(
+            dataset_dir, model_name=model_cfg.model_name
+        )
+    cp_params = cir_params = None
+    if not mock:
+        model = OutfitXModel(model_cfg)
+        cp_params = cir_params = model.init(jax.random.PRNGKey(0))
+        for tag, attr in (("-cp", "cp_params"), ("-cir", "cir_params")):
+            mgr = CheckpointManager(checkpoint_dir, model_cfg.model_name + tag)
+            best = "best_auc" if tag == "-cp" else "best_recall@1"
+            if mgr.exists(best):
+                payload = mgr.restore(best)
+                if attr == "cp_params":
+                    cp_params = payload["params"]
+                else:
+                    cir_params = payload["params"]
+    return ServingEngine(
+        model_cfg=model_cfg,
+        catalog=catalog,
+        cp_params=cp_params,
+        cir_params=cir_params,
+        mock=mock,
+    )
+
+
+def serve(
+    port: int = 6006,
+    *,
+    synthetic: bool = False,
+    mock: bool = False,
+    engine=None,
+    poll: Optional[float] = None,
+):
+    engine = engine or build_engine(synthetic=synthetic, mock=mock)
+    httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(engine))
+    print(f"OutfitX-TPU demo on http://0.0.0.0:{port} (mock={mock})")
+    try:
+        httpd.serve_forever(poll_interval=poll or 0.5)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
