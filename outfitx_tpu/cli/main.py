@@ -166,6 +166,46 @@ def fitb(checkpoint_from, **kw):
 
 @cli.command()
 @common_options
+def original_cp(**kw):
+    """End-to-end CP: raw images+texts through resnet18+MiniLM inside the
+    train step (reference run/original_cp.py)."""
+    from outfitx_tpu.data.synthetic import make_synthetic
+    from outfitx_tpu.models.item_encoder import ItemEncoderModel
+    from outfitx_tpu.core.config import ItemEncoderConfig
+    from outfitx_tpu.train.original_cp_trainer import (
+        OriginalCPTrainer,
+        RawItemSource,
+    )
+
+    enc_cfg = ItemEncoderConfig.for_type("resnet_sbert")
+    model_cfg = OutfitXConfig(item_encoder=enc_cfg)
+    # reference original-CP envelope: batch 350, accum 10 (:26-33)
+    cfg = _build_cfg(CPTrainConfig, kw)
+    if kw["batch_size"] is None:
+        cfg = dataclasses.replace(cfg, batch_size=350, accumulation_steps=10)
+    kwargs = {}
+    if kw["synthetic"]:
+        enc = ItemEncoderModel(enc_cfg)
+        data = _synth(model_cfg, n_outfits=512)
+        source = RawItemSource.synthetic(
+            n_items=data.catalog.n_items,
+            image_size=enc.image_size,
+            text_len=16,
+            vocab=enc.text_vocab_size,
+        )
+        kwargs = dict(
+            encoder=enc,
+            source=source,
+            train_split=data.cp_train,
+            valid_split=data.cp_valid,
+        )
+    with OriginalCPTrainer(cfg, model_cfg, _resolve_mode(kw), **kwargs) as t:
+        result = t.run()
+    click.echo(json.dumps(result))
+
+
+@cli.command()
+@common_options
 @click.option("--output-dir", default=None, help="embedding shard output dir")
 def pes(output_dir, **kw):
     """Precompute-embedding sweep over the item catalog (reference run/pes.py)."""

@@ -26,15 +26,20 @@ from outfitx_tpu.models.towers import (
     VisionTower,
     VisionTowerConfig,
 )
+from outfitx_tpu.models.towers.minilm import MiniLM, MiniLMConfig
+from outfitx_tpu.models.towers.resnet import ResNet18, ResNet18Config
 
 
-def tower_configs(
-    cfg: ItemEncoderConfig,
-) -> Tuple[VisionTowerConfig, TextTowerConfig]:
+def tower_configs(cfg: ItemEncoderConfig):
     if cfg.encoder_type == "clip":
         return VisionTowerConfig.clip_b32(), TextTowerConfig.clip_b()
     if cfg.encoder_type == "siglip":
         return VisionTowerConfig.siglip_b16(), TextTowerConfig.siglip_b()
+    if cfg.encoder_type == "resnet_sbert":
+        return (
+            ResNet18Config(d_out=cfg.dim_per_modality),
+            MiniLMConfig(d_out=cfg.dim_per_modality),
+        )
     raise NotImplementedError(
         f"encoder_type {cfg.encoder_type!r} has no JAX tower yet"
     )
@@ -51,13 +56,37 @@ class ItemEncoderModel:
         vc, tc = tower_configs(self.cfg)
         vc = self.vision_cfg or vc
         tc = self.text_cfg or tc
-        object.__setattr__(self, "vision", VisionTower(vc))
-        object.__setattr__(self, "text", TextTower(tc))
+        if self.cfg.encoder_type == "resnet_sbert":
+            object.__setattr__(self, "vision", ResNet18(vc))
+            object.__setattr__(self, "text", MiniLM(tc))
+        else:
+            object.__setattr__(self, "vision", VisionTower(vc))
+            object.__setattr__(self, "text", TextTower(tc))
         object.__setattr__(self, "normalize_images", make_normalizer(self.cfg.encoder_type))
+
+    @property
+    def has_trainable_heads(self) -> bool:
+        """resnet_sbert trains the fresh fc/proj heads (reference
+        resnet18_image_encoder.py:31-40, hugging_face_text_encoder.py:27-30);
+        clip/siglip are fully frozen."""
+        return self.cfg.encoder_type == "resnet_sbert"
+
+    def _freeze(self, tree, trainable_key: str | None):
+        """stop_gradient on frozen leaves; resnet_sbert keeps its head live."""
+        if trainable_key is None or not self.has_trainable_heads:
+            return jax.lax.stop_gradient(tree)
+        return {
+            k: (v if k == trainable_key else jax.lax.stop_gradient(v))
+            for k, v in tree.items()
+        }
 
     @property
     def image_size(self) -> int:
         return self.vision.cfg.image_size
+
+    @property
+    def text_vocab_size(self) -> int:
+        return self.text.cfg.vocab_size
 
     def init(self, key: jax.Array) -> Dict:
         kv, kt = jax.random.split(key)
@@ -66,7 +95,7 @@ class ItemEncoderModel:
     def encode_images(self, params, images_uint8: jax.Array) -> jax.Array:
         """(B, 3, H, W) uint8 -> (B, d) L2-normalized image embeddings."""
         x = self.normalize_images(images_uint8)
-        emb = self.vision(jax.lax.stop_gradient(params["vision"]), x)
+        emb = self.vision(self._freeze(params["vision"], "fc"), x)
         if self.cfg.normalize_out:
             emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
         return emb
@@ -74,9 +103,13 @@ class ItemEncoderModel:
     def encode_texts(
         self, params, input_ids: jax.Array, attention_mask: jax.Array | None = None
     ) -> jax.Array:
-        emb = self.text(
-            jax.lax.stop_gradient(params["text"]), input_ids, attention_mask
-        )
+        tp = self._freeze(params["text"], "proj")
+        if self.cfg.encoder_type == "resnet_sbert":
+            if attention_mask is None:
+                attention_mask = jnp.ones_like(input_ids)
+            emb = self.text(tp, input_ids, attention_mask)
+        else:
+            emb = self.text(tp, input_ids, attention_mask)
         if self.cfg.normalize_out:
             emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
         return emb
