@@ -51,6 +51,8 @@ _common = [
     click.option("--mesh-data", type=int, default=-1),
     click.option("--mesh-model", type=int, default=1),
     click.option("--encoder", type=click.Choice(["siglip", "clip", "resnet_sbert"]), default="siglip"),
+    click.option("--resume", default=None, help="checkpoint tag/path to resume from"),
+    click.option("--profile-dir", default=None, help="write a jax.profiler trace of epoch 1"),
 ]
 
 
@@ -113,6 +115,9 @@ def cp(**kw):
             valid_split=data.cp_valid,
         )
     with CPTrainer(cfg, model_cfg, _resolve_mode(kw), **kwargs) as t:
+        t.profile_dir = kw["profile_dir"]
+        if kw["resume"]:
+            t.resume(kw["resume"])
         result = t.run()
     click.echo(json.dumps(result))
 
@@ -140,6 +145,9 @@ def cir(warm_start_from, switch_to_hard_epoch, **kw):
             pool_threshold=1,
         )
     with CIRTrainer(cfg, model_cfg, _resolve_mode(kw), **kwargs) as t:
+        t.profile_dir = kw["profile_dir"]
+        if kw["resume"]:
+            t.resume(kw["resume"])
         result = t.run()
     click.echo(json.dumps(result))
 

@@ -63,11 +63,34 @@ class CheckpointManager:
             json.dump(meta, f, indent=2, default=str)
         return path
 
-    def restore(self, tag_or_path: str | pathlib.Path) -> Dict[str, Any]:
+    def restore(
+        self,
+        tag_or_path: str | pathlib.Path,
+        template: Optional[Dict[str, Any]] = None,
+    ) -> Dict[str, Any]:
+        """template: pytree skeleton (e.g. {'params': ..., 'opt_state': ...})
+        so structured leaves (optax NamedTuples) restore into the right
+        container types rather than raw dicts/lists."""
         path = pathlib.Path(tag_or_path)
         if not path.exists():
             path = self.path(str(tag_or_path))
-        payload = self._ckpt.restore(path)
+        if template is not None:
+            import jax
+
+            saved_keys = set()
+            # restore only the subtrees that were saved
+            item = {}
+            probe = self._ckpt.restore(path)
+            for k in template:
+                if k in probe:
+                    item[k] = jax.tree.map(lambda x: x, template[k])
+                    saved_keys.add(k)
+            payload = self._ckpt.restore(path, item=item)
+            for k in probe:
+                if k not in payload:
+                    payload[k] = probe[k]
+        else:
+            payload = self._ckpt.restore(path)
         meta_path = path / "meta.json"
         meta = {}
         if meta_path.exists():

@@ -27,6 +27,7 @@ import numpy as np
 from outfitx_tpu.core.config import TrainConfig
 from outfitx_tpu.core.mesh import MeshSpec, make_mesh
 from outfitx_tpu.train.checkpoint import BestMetricTracker, CheckpointManager
+from outfitx_tpu.train.metrics_log import MetricsLogger
 
 RUN_MODES = ("train-valid", "test", "custom")
 
@@ -51,7 +52,8 @@ class Trainer(abc.ABC):
         self.ckpt: Optional[CheckpointManager] = None
         self.best = BestMetricTracker(**self.best_metrics())
         self._mesh_ctx = None
-        self._step_times: list[float] = []
+        self.metrics_log: Optional[MetricsLogger] = None
+        self.profile_dir: Optional[str] = None  # set to enable jax.profiler
 
     # ------------------------------------------------------------ hooks --
     @property
@@ -90,6 +92,7 @@ class Trainer(abc.ABC):
     # ------------------------------------------------------------ setup --
     def setup(self) -> None:
         self.setup_logger()
+        self.metrics_log = MetricsLogger(self.cfg.log_dir, self.model_name)
         self.setup_mesh()
         self.ckpt = CheckpointManager(self.cfg.checkpoint_dir, self.model_name)
         self.load_model()
@@ -131,10 +134,19 @@ class Trainer(abc.ABC):
             result = None
             for epoch in range(self.epoch, self.cfg.n_epochs):
                 self.epoch = epoch
+                profiling = self.profile_dir is not None and epoch == 1
+                if profiling:  # epoch 0 is compile-dominated; trace epoch 1
+                    jax.profiler.start_trace(self.profile_dir)
                 t0 = time.perf_counter()
                 train_metrics = self.train_epoch(epoch)
                 valid_metrics = self.valid_epoch(epoch)
                 dt = time.perf_counter() - t0
+                if profiling:
+                    jax.profiler.stop_trace()
+                    self.log(f"profiler trace written to {self.profile_dir}")
+                train_metrics = dict(train_metrics or {})
+                if train_metrics:
+                    train_metrics["epoch_seconds"] = dt
                 self.log_metrics("train", epoch, train_metrics)
                 self.log_metrics("valid", epoch, valid_metrics)
                 self.log(f"epoch {epoch} done in {dt:.1f}s")
@@ -160,6 +172,8 @@ class Trainer(abc.ABC):
             return
         parts = " ".join(f"{k}={v:.5f}" for k, v in metrics.items())
         self.log(f"[{split}] epoch {epoch}: {parts}")
+        if self.metrics_log is not None:
+            self.metrics_log.log(split, epoch, metrics)
 
     # ------------------------------------------------------ checkpoints --
     def maybe_save_best(
@@ -176,6 +190,26 @@ class Trainer(abc.ABC):
                 )
                 self.log(f"saved best_{name} ({value:.5f}) at epoch {epoch}")
 
+    def resume(self, tag_or_path: str = "final") -> None:
+        """Restore params (+opt_state/step/epoch when present) and continue
+        training from the next epoch. The reference has no auto-resume
+        (SURVEY.md 5 'recovery is manual') — this is the improvement."""
+        template = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+        }
+        payload = self.ckpt.restore(tag_or_path, template=template)
+        self.state = self.state.replace(params=payload["params"])
+        if payload.get("opt_state") is not None:
+            import jax.numpy as jnp
+
+            self.state = self.state.replace(
+                opt_state=payload["opt_state"],
+                step=jnp.asarray(payload["meta"].get("step", 0), jnp.int32),
+            )
+        self.epoch = int(payload["meta"].get("epoch", -1)) + 1
+        self.log(f"resumed from {tag_or_path} at epoch {self.epoch}")
+
     # ---------------------------------------------------------- context --
     def __enter__(self) -> "Trainer":
         self.setup()
@@ -189,12 +223,16 @@ class Trainer(abc.ABC):
                     self.ckpt.save(
                         "final",
                         params=self.state.params,
+                        opt_state=self.state.opt_state,  # enables resume
                         step=int(self.state.step),
                         epoch=self.epoch,
                         config=self.cfg,
                     )
                     self.log("saved final checkpoint")
         finally:
+            if self.metrics_log is not None:
+                with contextlib.suppress(Exception):
+                    self.metrics_log.close()
             if self._mesh_ctx is not None:
                 with contextlib.suppress(Exception):
                     self._mesh_ctx.__exit__(exc_type, exc, tb)

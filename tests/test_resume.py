@@ -1,0 +1,58 @@
+"""Checkpoint resume: params + optimizer state + epoch counter round-trip
+through orbax (the reference has no auto-resume — SURVEY.md 5)."""
+
+import dataclasses
+
+import numpy as np
+
+from outfitx_tpu.core.config import (
+    CPTrainConfig,
+    ItemEncoderConfig,
+    OptimizerConfig,
+    OutfitXConfig,
+    TransformerConfig,
+)
+from outfitx_tpu.data.synthetic import make_synthetic
+from outfitx_tpu.train.cp_trainer import CPTrainer
+
+
+def test_resume_continues_training(tmp_path):
+    synth = make_synthetic(n_items=300, d_embed=32, n_outfits=256, seed=13)
+    model_cfg = OutfitXConfig(
+        item_encoder=ItemEncoderConfig(dim_per_modality=16),
+        transformer=TransformerConfig(n_heads=4, d_ffn=64, n_layers=2, dropout=0.1),
+        max_outfit_len=8,
+        compute_dtype="float32",
+    )
+    cfg = CPTrainConfig(
+        n_epochs=2,
+        batch_size=64,
+        accumulation_steps=1,
+        optimizer=OptimizerConfig(learning_rate=1e-3),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        log_dir=str(tmp_path / "logs"),
+    )
+    kw = dict(
+        catalog=synth.catalog,
+        train_split=synth.cp_train,
+        valid_split=synth.cp_valid,
+    )
+    with CPTrainer(cfg, model_cfg, **kw) as t:
+        t.run()
+        step_after_2 = int(t.state.step)
+
+    # resume from 'final' and run 2 more epochs
+    cfg2 = dataclasses.replace(cfg, n_epochs=4)
+    with CPTrainer(cfg2, model_cfg, **kw) as t2:
+        t2.resume("final")
+        assert t2.epoch == 2  # continues AFTER the saved epoch
+        assert int(t2.state.step) == step_after_2  # optimizer step restored
+        # opt_state restored into proper optax structure (not raw dicts)
+        leaves = [np.asarray(x) for x in __import__("jax").tree.leaves(t2.state.opt_state)]
+        assert any(np.abs(x).sum() > 0 for x in leaves if x.dtype.kind == "f")
+        metrics = t2.run()
+    assert int(t2.state.step) > step_after_2
+    assert np.isfinite(metrics["loss"])
+    # metrics JSONL sink recorded all epochs
+    jsonl = (tmp_path / "logs" / f"{t2.model_name}_metrics.jsonl").read_text()
+    assert jsonl.count('"split": "valid"') >= 4
