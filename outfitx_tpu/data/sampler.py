@@ -136,13 +136,30 @@ def cir_train_batches(
     sample_mode: str = "easy",
     max_len: int = 16,
     sampler: Optional[NegativeSampler] = None,
+    impl: str = "auto",
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yields CIR train super-batches (see steps.make_cir_train_step).
 
     Per example: pick a positive among eligible members, the partial outfit is
     the remaining items (shuffled), negatives share the positive's category
     key (reference __getitem__: :50-67). Pass a prebuilt ``sampler`` to avoid
-    rebuilding pools every epoch."""
+    rebuilding pools every epoch.
+
+    impl: 'native' (C++ assembler, outfitx_tpu.native), 'python', or 'auto'
+    (native when the compiled library is available). Both are deterministic
+    given (seed, epoch), with independent RNG streams."""
+    if impl == "auto":
+        from outfitx_tpu import native
+
+        impl = "native" if native.available() else "python"
+    if impl == "native":
+        yield from _cir_train_batches_native(
+            split, catalog,
+            batch_size=batch_size, accum_steps=accum_steps, epoch=epoch,
+            seed=seed, n_negatives=n_negatives, sample_mode=sample_mode,
+            max_len=max_len,
+        )
+        return
     if sampler is None:
         sampler = NegativeSampler(catalog, sample_mode)
     n = len(split)
@@ -176,6 +193,62 @@ def cir_train_batches(
             "pos_idx": pos_idx.reshape(accum_steps, batch_size),
             "neg_idx": neg_idx.reshape(accum_steps, batch_size, n_negatives),
             "neg_mask": neg_mask.reshape(accum_steps, batch_size, n_negatives),
+        }
+
+
+_NATIVE_ASSEMBLERS: dict = {}
+
+
+def _cir_train_batches_native(
+    split: OutfitSplit,
+    catalog: Catalog,
+    *,
+    batch_size: int,
+    accum_steps: int,
+    epoch: int,
+    seed: int,
+    n_negatives: int,
+    sample_mode: str,
+    max_len: int,
+) -> Iterator[Dict[str, np.ndarray]]:
+    from outfitx_tpu.native import CIRAssembler
+
+    cache_key = (id(split), id(catalog), sample_mode, n_negatives, seed)
+    assembler = _NATIVE_ASSEMBLERS.get(cache_key)
+    if assembler is None:
+        key_col = (
+            catalog.semantic_category
+            if sample_mode == "easy"
+            else catalog.category_id
+        )
+        # remap keys to a dense 0..K-1 range for the CSR pools
+        uniq, dense = np.unique(key_col, return_inverse=True)
+        assembler = CIRAssembler(
+            split.item_rows[:, :max_len],
+            split.lengths,
+            split.pos_eligible[:, :max_len],
+            dense.astype(np.int32),
+            pad_row=catalog.pad_row,
+            k=n_negatives,
+            seed=seed,
+        )
+        _NATIVE_ASSEMBLERS[cache_key] = assembler
+    n = len(split)
+    order = _epoch_rng(seed, epoch, 1).permutation(n)
+    super_b = batch_size * accum_steps
+    for start in range(0, n - super_b + 1, super_b):
+        sel = order[start : start + super_b]
+        out = assembler.assemble(sel, epoch)
+        yield {
+            "item_idx": out["item_idx"].reshape(accum_steps, batch_size, -1),
+            "mask": out["mask"].reshape(accum_steps, batch_size, -1),
+            "pos_idx": out["pos_idx"].reshape(accum_steps, batch_size),
+            "neg_idx": out["neg_idx"].reshape(
+                accum_steps, batch_size, n_negatives
+            ),
+            "neg_mask": out["neg_mask"].reshape(
+                accum_steps, batch_size, n_negatives
+            ),
         }
 
 

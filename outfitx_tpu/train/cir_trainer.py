@@ -149,6 +149,7 @@ class CIRTrainer(Trainer):
             epoch=epoch,
             seed=self.cfg.seed,
             n_negatives=self.cfg.n_negatives,
+            sample_mode=mode,
             max_len=self.model_cfg.max_outfit_len,
             sampler=self._samplers[mode],
         ):
