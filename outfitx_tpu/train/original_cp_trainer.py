@@ -67,6 +67,43 @@ class RawItemSource:
             "attn": self.attn[rows],
         }
 
+    @classmethod
+    def from_polyvore(
+        cls,
+        catalog,
+        dataset_dir,
+        *,
+        image_size: int,
+        tokenizer,
+        text_len: int = 16,
+        cache_uint8: bool = True,
+    ) -> "RawItemSource":
+        """Disk-backed source: decodes images/{id}.jpg once into a uint8 bank
+        (the reference re-decodes + re-transforms per epoch in DataLoader
+        workers, polyvore_item_dataset.py:77-81 — a large host-CPU tax this
+        one-time decode avoids; 224px uint8 is ~150 KB/item). Texts are the
+        item descriptions, tokenized once."""
+        import pathlib
+
+        from outfitx_tpu.data.preprocess import load_image_uint8
+
+        dataset_dir = pathlib.Path(dataset_dir)
+        n = catalog.n_items
+        images = np.zeros((n + 1, 3, image_size, image_size), dtype=np.uint8)
+        for row in range(n):
+            path = dataset_dir / "images" / f"{int(catalog.item_ids[row])}.jpg"
+            if path.exists():
+                images[row] = load_image_uint8(str(path), image_size)
+        texts = list(catalog.descriptions or [""] * n) + [""]
+        ids, attn = tokenizer(texts, max_length=text_len)
+        ids[-1] = 0
+        attn[-1] = 0
+        return cls(
+            image_bank=images,
+            input_ids=ids.astype(np.int32),
+            attn=attn.astype(np.int32),
+        )
+
 
 class OriginalCPTrainer(Trainer):
     def __init__(
@@ -207,9 +244,27 @@ class OriginalCPTrainer(Trainer):
 
     def setup_data(self) -> None:
         if self._source is None or self._train_split is None:
-            raise NotImplementedError(
-                "disk-backed Polyvore image pipeline lands with the dataset; "
-                "inject source/splits (synthetic or custom) for now"
+            from outfitx_tpu.data.catalog import Catalog
+            from outfitx_tpu.data.splits import CPSplit
+            from outfitx_tpu.data.tokenizer import load_tokenizer
+
+            catalog = Catalog.from_metadata_only(self.cfg.dataset_dir)
+            self._train_split = CPSplit.load(
+                catalog, self.cfg.dataset_dir, self.cfg.polyvore_type,
+                "train", self.model_cfg.max_outfit_len,
+            )
+            self._valid_split = CPSplit.load(
+                catalog, self.cfg.dataset_dir, self.cfg.polyvore_type,
+                "valid", self.model_cfg.max_outfit_len,
+            )
+            tokenizer = load_tokenizer(
+                self.model_cfg.item_encoder.text_model_name,
+                vocab_size=self.encoder.text.cfg.vocab_size,
+            )
+            self._source = RawItemSource.from_polyvore(
+                catalog, self.cfg.dataset_dir,
+                image_size=self.encoder.image_size,
+                tokenizer=tokenizer,
             )
         self.load_optimizer()
 
