@@ -116,10 +116,13 @@ class MeshConfig:
     ``data`` is the batch axis (the reference's DDP world, 2.8 in SURVEY.md);
     ``model`` is the tensor-parallel axis over which attention heads and FFN
     hidden units shard Megatron-style. Set ``model=1`` for pure DP.
+    ``fsdp`` additionally shards the large layer weights over the data axis
+    (ZeRO-3 style); XLA inserts the per-use all-gathers.
     """
 
     data: int = -1  # -1: use all remaining devices
     model: int = 1
+    fsdp: bool = False
 
     def resolve(self, n_devices: int) -> Tuple[int, int]:
         model = max(1, self.model)

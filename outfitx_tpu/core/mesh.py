@@ -75,6 +75,20 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree.map(_put, batch)
 
 
+def shard_params(mesh: Mesh, params, specs):
+    """Place a parameter pytree per its PartitionSpec tree (TP/FSDP layouts).
+
+    Replaces the reference's DDP broadcast of replicated weights
+    (distributed_trainer.py:318-329): here layout is explicit and XLA
+    inserts the gathers/reductions each layout implies."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params,
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
 def constrain(x, spec: P):
     """`with_sharding_constraint` that is a no-op outside a mesh context."""
     try:

@@ -111,11 +111,15 @@ class OutfitXModel:
         }
 
     # -------------------------------------------------- partition specs --
-    def param_partition_specs(self) -> Params:
+    def param_partition_specs(self, *, fsdp: bool = False) -> Params:
         """Megatron-style TP: QKV/FFN-in column-sharded, out-proj/FFN-out
-        row-sharded over 'model'. Leading stacked-layer axis unsharded."""
-        col = P(None, None, "model")
-        row = P(None, "model", None)
+        row-sharded over 'model'. Leading stacked-layer axis unsharded.
+        With ``fsdp`` the other matrix dimension additionally shards over
+        'data' (ZeRO-3); XLA all-gathers weights at each use and
+        reduce-scatters their grads."""
+        dax = "data" if fsdp else None
+        col = P(None, dax, "model")
+        row = P(None, "model", dax)
         rep1 = P(None, None)
         return {
             "layers": {

@@ -82,6 +82,7 @@ class CIRTrainer(Trainer):
         steps_per_epoch = max(n_train // super_b, 1)
         self.total_steps = steps_per_epoch * self.cfg.n_epochs
         self.tx = make_optimizer(self.cfg.optimizer, self.total_steps)
+        self.init_params = self.shard_model_params(self.model, self.init_params)
         self.state = TrainState.create(self.init_params, self.tx, self.init_rng)
         self.train_step = make_cir_train_step(
             self.model, self.tx, margin=self.cfg.margin

@@ -25,7 +25,7 @@ import jax
 import numpy as np
 
 from outfitx_tpu.core.config import TrainConfig
-from outfitx_tpu.core.mesh import MeshSpec, make_mesh
+from outfitx_tpu.core.mesh import MeshSpec, make_mesh, shard_params
 from outfitx_tpu.train.checkpoint import BestMetricTracker, CheckpointManager
 from outfitx_tpu.train.metrics_log import MetricsLogger
 
@@ -127,6 +127,15 @@ class Trainer(abc.ABC):
             f"mesh: data={data} model={model} over {n} "
             f"{jax.devices()[0].platform} device(s)"
         )
+
+    def shard_model_params(self, model, params):
+        """Apply TP/FSDP partition specs when the mesh calls for them
+        (pure-DP keeps params replicated)."""
+        mc = self.cfg.mesh
+        if self.mesh is None or (mc.model <= 1 and not mc.fsdp):
+            return params
+        specs = model.param_partition_specs(fsdp=mc.fsdp)
+        return shard_params(self.mesh, params, specs)
 
     # -------------------------------------------------------------- run --
     def run(self) -> Any:
