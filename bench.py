@@ -28,6 +28,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from outfitx_tpu.core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from outfitx_tpu.core.config import OutfitXConfig
     from outfitx_tpu.models import OutfitXModel
 

@@ -96,6 +96,9 @@ def _model_cfg(kw) -> OutfitXConfig:
 @click.group()
 def cli() -> None:
     """OutfitX-TPU command line."""
+    from outfitx_tpu.core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
 
 
 @cli.command()

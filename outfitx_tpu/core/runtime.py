@@ -1,0 +1,33 @@
+"""Runtime setup helpers."""
+
+from __future__ import annotations
+
+import os
+import pathlib
+
+_cache_enabled = False
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> None:
+    """Persistent XLA compilation cache.
+
+    First compiles through the TPU compile service run 1-7 minutes for this
+    framework's programs; the persistent cache makes every later process
+    (re-runs, resumed training, serving restarts, benchmarks) hit in
+    milliseconds. Called by the harness, CLI, bench, and serving entry
+    points; respects an existing JAX_COMPILATION_CACHE_DIR.
+    """
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    import jax
+
+    cache_dir = (
+        cache_dir
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or str(pathlib.Path.home() / ".cache" / "outfitx_tpu" / "jax_cache")
+    )
+    pathlib.Path(cache_dir).mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _cache_enabled = True

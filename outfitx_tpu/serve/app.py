@@ -139,6 +139,10 @@ def build_engine(
     embedding catalog at module import, :51-116)."""
     import jax
 
+    from outfitx_tpu.core.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from outfitx_tpu.core.config import OutfitXConfig
     from outfitx_tpu.data.catalog import Catalog
     from outfitx_tpu.models import OutfitXModel
