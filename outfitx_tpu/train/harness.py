@@ -121,6 +121,9 @@ class Trainer(abc.ABC):
             self.logger.addHandler(fh)
 
     def setup_mesh(self) -> None:
+        from outfitx_tpu.parallel import maybe_initialize_distributed
+
+        maybe_initialize_distributed()
         n = len(jax.devices())
         data, model = self.cfg.mesh.resolve(n)
         self.mesh = make_mesh(MeshSpec(data=data, model=model))
