@@ -99,6 +99,10 @@ class OutfitXConfig:
     # reference's fp16 autocast + GradScaler, which bf16 makes unnecessary).
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
+    # jax.checkpoint each encoder layer: recompute activations in backward
+    # instead of saving them — required for the reference's batch-3072
+    # training envelope to fit in 16 GB HBM.
+    remat: bool = False
 
     @property
     def d_embed(self) -> int:

@@ -209,7 +209,7 @@ class OutfitXModel:
 
         layer_fn = body
         if cfg.transformer.n_layers > 0:
-            if getattr(cfg, "remat", False):
+            if cfg.remat:
                 layer_fn = jax.checkpoint(body)
             idxs = jnp.arange(cfg.transformer.n_layers)
             x, _ = jax.lax.scan(layer_fn, x, (params["layers"], idxs))
