@@ -22,8 +22,8 @@ from outfitx_tpu.train.original_cp_trainer import OriginalCPTrainer, RawItemSour
 @pytest.fixture(scope="module")
 def setup(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("ocp")
-    n_items = 300
-    synth = make_synthetic(n_items=n_items, d_embed=16, n_outfits=256, seed=9)
+    n_items = 200
+    synth = make_synthetic(n_items=n_items, d_embed=16, n_outfits=128, seed=9)
     enc = ItemEncoderModel(
         ItemEncoderConfig(encoder_type="resnet_sbert", dim_per_modality=8),
         vision_cfg=ResNet18Config(d_out=8, image_size=32),
@@ -42,7 +42,7 @@ def setup(tmp_path_factory):
         compute_dtype="float32",
     )
     cfg = CPTrainConfig(
-        n_epochs=2,
+        n_epochs=1,
         batch_size=16,
         accumulation_steps=2,
         optimizer=OptimizerConfig(learning_rate=1e-3),
@@ -54,6 +54,8 @@ def setup(tmp_path_factory):
 
 class TestOriginalCP:
     def test_end_to_end_trains(self, setup):
+        """One training run asserts the full contract: finite metrics,
+        checkpointing, frozen backbones untouched, trainable heads moving."""
         synth, enc, source, model_cfg, cfg = setup
         with OriginalCPTrainer(
             cfg,
@@ -64,8 +66,10 @@ class TestOriginalCP:
             valid_split=synth.cp_valid,
         ) as t:
             frozen_before = jax.device_get(t.frozen)
+            heads_before = jax.device_get(t.state.params["enc_heads"])
             metrics = t.run()
             frozen_after = jax.device_get(t.frozen)
+            heads_after = jax.device_get(t.state.params["enc_heads"])
         assert np.isfinite(metrics["loss"])
         assert "auc" in metrics
         # frozen backbones must be bit-identical after training
@@ -73,26 +77,12 @@ class TestOriginalCP:
             jax.tree.leaves(frozen_before), jax.tree.leaves(frozen_after)
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-        assert t.ckpt.exists("best_auc")
-
-    def test_enc_heads_actually_update(self, setup):
-        synth, enc, source, model_cfg, cfg = setup
-        import dataclasses
-
-        cfg1 = dataclasses.replace(cfg, n_epochs=1)
-        with OriginalCPTrainer(
-            cfg1,
-            model_cfg,
-            encoder=enc,
-            source=source,
-            train_split=synth.cp_train,
-            valid_split=synth.cp_valid,
-        ) as t:
-            before = jax.device_get(t.state.params["enc_heads"])
-            t.run()
-            after = jax.device_get(t.state.params["enc_heads"])
+        # the trainable fc/proj heads must actually update
         diffs = [
             float(np.abs(np.asarray(a) - np.asarray(b)).sum())
-            for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after))
+            for a, b in zip(
+                jax.tree.leaves(heads_before), jax.tree.leaves(heads_after)
+            )
         ]
         assert all(d > 0 for d in diffs), diffs
+        assert t.ckpt.exists("best_auc")
