@@ -149,7 +149,10 @@ def build_engine(
     from outfitx_tpu.serve.engine import ServingEngine
     from outfitx_tpu.train.checkpoint import CheckpointManager
 
+    from outfitx_tpu.data.sampler import CandidatePools
+
     model_cfg = model_cfg or OutfitXConfig()
+    pools = None
     if synthetic:
         from outfitx_tpu.data.synthetic import make_synthetic
 
@@ -160,10 +163,26 @@ def build_engine(
             max_len=model_cfg.max_outfit_len,
         )
         catalog = data.catalog
+        pools = CandidatePools.build(
+            catalog, data.cir_valid, pool_size=1000, threshold=1
+        )
     else:
         catalog = Catalog.from_polyvore(
             dataset_dir, model_name=model_cfg.model_name
         )
+        try:
+            # per-category retrieval pools from the test split (reference
+            # demo serves CIR against the CIR dataset's candidate pools,
+            # app.py:169-201)
+            from outfitx_tpu.data.splits import OutfitSplit
+
+            test_split = OutfitSplit.load(
+                catalog, dataset_dir, "nondisjoint", "test",
+                model_cfg.max_outfit_len,
+            )
+            pools = CandidatePools.build(catalog, test_split)
+        except FileNotFoundError:
+            pools = None  # whole-catalog retrieval fallback
     cp_params = cir_params = None
     if not mock:
         model = OutfitXModel(model_cfg)
@@ -182,6 +201,7 @@ def build_engine(
         catalog=catalog,
         cp_params=cp_params,
         cir_params=cir_params,
+        pools=pools,
         mock=mock,
     )
 
