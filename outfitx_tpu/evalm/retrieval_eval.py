@@ -22,14 +22,14 @@ from outfitx_tpu.data.sampler import CandidatePools
 
 @jax.jit
 def _batched_topk_50(queries, pools):
-    """queries (C, Q, D), pools (C, P, D) -> top-50 indices (C, Q, 50)."""
+    """queries (C, Q, D), pools (C, P, D) -> top-min(50, P) indices."""
     qf = queries.astype(jnp.float32)
     pf = pools.astype(jnp.float32)
     q2 = jnp.sum(qf * qf, axis=-1)[:, :, None]
     p2 = jnp.sum(pf * pf, axis=-1)[:, None, :]
     cross = jnp.einsum("cqd,cpd->cqp", qf, pf, preferred_element_type=jnp.float32)
     d2 = q2 + p2 - 2.0 * cross
-    _, idx = jax.lax.top_k(-d2, 50)
+    _, idx = jax.lax.top_k(-d2, min(50, pools.shape[1]))
     return idx
 
 
