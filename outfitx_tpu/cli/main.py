@@ -218,17 +218,32 @@ def original_cp(**kw):
 @cli.command()
 @common_options
 @click.option("--output-dir", default=None, help="embedding shard output dir")
-def pes(output_dir, **kw):
+@click.option(
+    "--weights", default=None,
+    help="HF checkpoint dir with pretrained tower weights (safetensors)",
+)
+def pes(output_dir, weights, **kw):
     """Precompute-embedding sweep over the item catalog (reference run/pes.py)."""
     from outfitx_tpu.core.config import PrecomputeConfig
     from outfitx_tpu.train.precompute import PrecomputeRunner
 
     model_cfg = _model_cfg(kw)
     cfg = _build_cfg(PrecomputeConfig, kw)
+    params = None
+    if weights:
+        import jax
+
+        from outfitx_tpu.models.item_encoder import ItemEncoderModel
+        from outfitx_tpu.models.pretrained import load_item_encoder_params
+
+        enc = ItemEncoderModel(model_cfg.item_encoder)
+        init = enc.init(jax.random.PRNGKey(cfg.seed))
+        params = load_item_encoder_params(enc, weights, init_params=init)
     runner = PrecomputeRunner(
         cfg,
         model_cfg,
         output_dir=output_dir,
+        params=params,
         synthetic_items=4096 if kw["synthetic"] else 0,
     )
     result = runner.run()
