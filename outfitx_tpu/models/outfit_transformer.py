@@ -7,7 +7,12 @@ Functional re-design of the reference model (reference src/models/outfit_x.py):
   optionally rematerialized);
 - pre-LN residual blocks, 16 heads, d_ffn 2024, mish, dropout 0.3, and no
   final LayerNorm — matching the reference's live hyperparameters
-  (transformer_config.py:7-24, outfit_x.py:32-45);
+  (transformer_config.py:7-24, outfit_x.py:32-45). Dropout placement:
+  attention-output, FFN-inner, and FFN-output dropout match torch's
+  TransformerEncoderLayer; the attention-*probability* dropout inside
+  torch MHA is deliberately folded into the output dropout instead (same
+  rate, kernel-friendly — the fused Pallas core never materializes probs).
+  Eval-mode numerics are identical either way (parity-tested);
 - task heads (outfit_x.py:46-90): CP = learnable prefix `outfit_token` +
   Linear(d -> 1) on its output state (:120-144); CIR/FITB = target token
   concat(learnable image half, given text half) + bias-free Linear(d -> d)
