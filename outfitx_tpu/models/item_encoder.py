@@ -13,7 +13,7 @@ equivalent of the reference's requires_grad_(False) + no_grad
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

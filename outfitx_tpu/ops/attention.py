@@ -14,8 +14,6 @@ Inputs are (B, H, L, Dh) with a (B, L) bool key-padding mask.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -22,7 +22,6 @@ import time
 from typing import Any, Dict, Optional
 
 import jax
-import numpy as np
 
 from outfitx_tpu.core.config import TrainConfig
 from outfitx_tpu.core.mesh import MeshSpec, make_mesh, shard_params

@@ -2,7 +2,6 @@
 axis, XLA all-gathers per use; training still learns and matches pure-DP
 numerics at init."""
 
-import jax
 import numpy as np
 import pytest
 from jax.sharding import PartitionSpec as P

@@ -1,6 +1,5 @@
 """ItemEncoder fusion semantics + precompute sweep round-trip."""
 
-import dataclasses
 import pickle
 
 import jax

@@ -2,7 +2,6 @@
 load them through models/pretrained.py, asserting output parity with the
 torch source models."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -10,7 +10,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 import torch
 import torch.nn as tnn
 

@@ -4,7 +4,6 @@ import json
 import threading
 import urllib.request
 
-import numpy as np
 import pytest
 
 from outfitx_tpu.core.config import (

@@ -2,7 +2,6 @@
 target's category (reference demo semantics, app.py:169-201)."""
 
 import jax
-import numpy as np
 
 from outfitx_tpu.core.config import (
     ItemEncoderConfig,

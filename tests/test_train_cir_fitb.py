@@ -1,8 +1,6 @@
 """End-to-end CIR training + FITB eval on synthetic data, including the
 curriculum switch and CP->CIR->FITB checkpoint chaining."""
 
-import dataclasses
-
 import numpy as np
 import pytest
 
