@@ -38,12 +38,19 @@ class ServingEngine:
     cir_params: Optional[dict] = None
     pools: Optional[CandidatePools] = None
     mock: bool = False
+    quantized: bool = False  # int8 catalog for whole-catalog retrieval
 
     warmup: bool = True
 
     def __post_init__(self):
         self.model = OutfitXModel(self.model_cfg)
         self.catalog_dev = jnp.asarray(self.catalog.embeddings)
+        self._qcat = None
+        if self.quantized:
+            from outfitx_tpu.ops.quantization import quantize_catalog
+
+            # quantize only real rows; PAD row stays out of retrieval anyway
+            self._qcat = quantize_catalog(self.catalog_dev[: self.catalog.n_items])
         self._rng = np.random.default_rng(0)
         if not self.mock:
             self._cp_fn = jax.jit(
@@ -106,11 +113,21 @@ class ServingEngine:
             if self.pools is not None
             else None
         )
-        if pool_rows is None:  # fall back to whole-catalog retrieval
+        if pool_rows is None:  # whole-catalog retrieval
+            y = self._cir_query(item_ids, target_item_id)
+            if self._qcat is not None:
+                from outfitx_tpu.ops.quantization import retrieve_quantized
+
+                d2, idx = retrieve_quantized(y, self._qcat, k=10)
+            else:
+                d2, idx = retrieve(
+                    y, self.catalog_dev[: self.catalog.n_items], k=10
+                )
             pool_rows = np.arange(self.catalog.n_items, dtype=np.int32)
-        y = self._cir_query(item_ids, target_item_id)
-        pool_emb = self.catalog_dev[jnp.asarray(pool_rows)]
-        d2, idx = retrieve(y, pool_emb, k=10)
+        else:
+            y = self._cir_query(item_ids, target_item_id)
+            pool_emb = self.catalog_dev[jnp.asarray(pool_rows)]
+            d2, idx = retrieve(y, pool_emb, k=10)
         out = []
         for rank, (i, dist) in enumerate(
             zip(np.asarray(idx)[0], np.asarray(d2)[0])

@@ -1,0 +1,55 @@
+"""Int8 quantized retrieval: dequant exactness + ranking agreement with f32."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from outfitx_tpu.ops.quantization import quantize_catalog, retrieve_quantized
+from outfitx_tpu.ops.retrieval import retrieve
+
+
+def test_quantize_roundtrip_error_bounded(rng):
+    x = rng.standard_normal((100, 64)).astype(np.float32)
+    qc = quantize_catalog(jnp.asarray(x))
+    deq = np.asarray(qc.values, dtype=np.float32) * np.asarray(qc.scales)[:, None]
+    # max error per element <= scale/2
+    err = np.abs(deq - x)
+    bound = np.asarray(qc.scales)[:, None] * 0.5 + 1e-6
+    assert (err <= bound).all()
+    # precomputed squared norms match the dequantized rows exactly
+    np.testing.assert_allclose(
+        np.asarray(qc.sq_norms), (deq**2).sum(-1), rtol=1e-5
+    )
+
+
+def test_ranking_agrees_with_f32(rng):
+    n, d, q = 2000, 128, 32
+    # clustered data so that ranking is meaningful (not all-equidistant)
+    centers = rng.standard_normal((20, d)).astype(np.float32)
+    pool = centers[rng.integers(0, 20, n)] + 0.3 * rng.standard_normal(
+        (n, d)
+    ).astype(np.float32)
+    queries = pool[rng.integers(0, n, q)] + 0.1 * rng.standard_normal(
+        (q, d)
+    ).astype(np.float32)
+
+    _, idx_f32 = retrieve(jnp.asarray(queries), jnp.asarray(pool), k=10)
+    qc = quantize_catalog(jnp.asarray(pool))
+    assert qc.values.dtype == jnp.int8
+    _, idx_q = retrieve_quantized(jnp.asarray(queries), qc, k=10)
+
+    # top-10 overlap must be high (quantization noise is tiny vs cluster gaps)
+    overlaps = [
+        len(set(np.asarray(idx_f32[i]).tolist())
+            & set(np.asarray(idx_q[i]).tolist())) / 10
+        for i in range(q)
+    ]
+    assert np.mean(overlaps) > 0.9, np.mean(overlaps)
+    # top-1 matches almost always
+    top1 = np.mean(np.asarray(idx_f32[:, 0]) == np.asarray(idx_q[:, 0]))
+    assert top1 > 0.9, top1
+
+
+def test_memory_is_quarter(rng):
+    x = jnp.asarray(rng.standard_normal((1000, 256)).astype(np.float32))
+    qc = quantize_catalog(x)
+    assert qc.values.size == x.size  # int8: 1 byte/element vs 4
