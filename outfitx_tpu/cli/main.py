@@ -254,11 +254,21 @@ def pes(output_dir, weights, **kw):
 @click.option("--port", type=int, default=6006)
 @click.option("--synthetic", is_flag=True)
 @click.option("--mock", is_flag=True, help="UI smoke test with fake predictions")
-def demo(port, synthetic, mock):
+@click.option("--quantized", is_flag=True, help="int8 catalog for whole-catalog retrieval")
+def demo(port, synthetic, mock, quantized):
     """Serving demo (reference src/demo/app.py, port 6006)."""
-    from outfitx_tpu.serve.app import serve
+    from outfitx_tpu.serve.app import build_engine, serve
 
-    serve(port=port, synthetic=synthetic, mock=mock)
+    engine = build_engine(synthetic=synthetic, mock=mock)
+    if quantized:
+        from outfitx_tpu.ops.quantization import quantize_catalog
+
+        engine.quantized = True
+        engine._qcat = quantize_catalog(
+            engine.catalog_dev[: engine.catalog.n_items]
+        )
+        engine.pools = None  # whole-catalog retrieval path uses int8
+    serve(port=port, engine=engine, mock=mock)
 
 
 def main() -> None:
