@@ -31,3 +31,22 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     _cache_enabled = True
+
+
+def enable_fast_prng() -> None:
+    """Switch JAX's default PRNG to the hardware 'rbg' generator.
+
+    Dropout-key generation with the default threefry costs ~10% of the
+    flagship train step (measured 517 -> 463 ms/step at B=3072 with rbg).
+    rbg trades threefry's strict reproducibility-across-shardings guarantees
+    for speed — fine for dropout; call before building any PRNG keys.
+    Opt-in: OUTFITX_FAST_PRNG=1 or an explicit call.
+    """
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+
+def apply_env_flags() -> None:
+    if os.environ.get("OUTFITX_FAST_PRNG"):
+        enable_fast_prng()

@@ -90,9 +90,13 @@ class Trainer(abc.ABC):
 
     # ------------------------------------------------------------ setup --
     def setup(self) -> None:
-        from outfitx_tpu.core.runtime import enable_compilation_cache
+        from outfitx_tpu.core.runtime import (
+            apply_env_flags,
+            enable_compilation_cache,
+        )
 
         enable_compilation_cache()
+        apply_env_flags()
         self.setup_logger()
         self.metrics_log = MetricsLogger(self.cfg.log_dir, self.model_name)
         self.setup_mesh()
