@@ -167,6 +167,9 @@ class CIRTrainer(Trainer):
     def _predict_targets(self) -> np.ndarray:
         """y_hats (n, D) for all eval queries."""
         q = self._eval_queries
+        if len(q["pos_idx"]) == 0:  # no eval outfits survived the
+            # large-category filter (tiny datasets)
+            return np.zeros((0, self._catalog.d_embed), dtype=np.float32)
         outs = []
         valids = []
         for batch in eval_batches(

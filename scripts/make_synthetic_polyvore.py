@@ -1,0 +1,132 @@
+"""Generate a complete synthetic Polyvore-layout dataset on disk.
+
+Writes every file the reference's loaders expect (SURVEY.md 2.3):
+item_metadata.json, categories.json, precomputed_embeddings shards,
+{type}/{mode}.json (CIR outfits), {type}/compatibility/{mode}.json,
+{type}/fill_in_the_blank/{mode}.json — with a planted style signal so
+training is learnable. Embeddings are written as shards exactly as the
+precompute sweep would produce them, so `Catalog.from_polyvore` and every
+CLI command run in real --dataset-dir mode end to end:
+
+    PYTHONPATH=. python scripts/make_synthetic_polyvore.py --out /tmp/polyvore
+    python -m outfitx_tpu.cli cp  --dataset-dir /tmp/polyvore ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import pickle
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--items", type=int, default=20_000)
+    ap.add_argument("--d-embed", type=int, default=1536)
+    ap.add_argument("--outfits", type=int, default=8_000)
+    ap.add_argument("--model-name", default="outfitx-tpu-siglip-d1536")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(args.seed)
+    out = pathlib.Path(args.out)
+    (out / "precomputed_embeddings").mkdir(parents=True, exist_ok=True)
+    t = out / "nondisjoint"
+    (t / "compatibility").mkdir(parents=True, exist_ok=True)
+    (t / "fill_in_the_blank").mkdir(exist_ok=True)
+
+    n, d = args.items, args.d_embed
+    # few categories so each clears the reference's >=3000-item
+    # large-category threshold for CIR eval (SURVEY.md 2.3)
+    n_styles, n_cats = 24, max(2, min(6, args.items // 3500))
+    sem_names = ["tops", "bottoms", "shoes", "bags", "outerwear", "jewellery"]
+    styles = rng.standard_normal((n_styles, d)).astype(np.float32)
+    item_style = rng.integers(0, n_styles, n)
+    emb = styles[item_style] + 0.5 * rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    category_id = rng.integers(0, n_cats, n)
+    ids = (500_000 + np.arange(n)).tolist()
+
+    metadata = [
+        {
+            "item_id": ids[i],
+            "url_name": f"item {i}",
+            "description": "",
+            "title": f"synthetic item {i}",
+            "category_id": int(category_id[i]),
+            "semantic_category": sem_names[int(category_id[i]) % len(sem_names)],
+        }
+        for i in range(n)
+    ]
+    (out / "item_metadata.json").write_text(json.dumps(metadata))
+    (out / "categories.json").write_text(
+        json.dumps({str(c): f"category {c}" for c in range(n_cats)})
+    )
+
+    # embedding shards, two ranks, exactly the precompute output format
+    half = n // 2
+    for rank, sl in enumerate([slice(0, half), slice(half, n)]):
+        with open(
+            out / "precomputed_embeddings"
+            / f"{args.model_name}_embedding_subset_{rank}.pkl",
+            "wb",
+        ) as f:
+            pickle.dump({"ids": ids[sl], "embeddings": emb[sl]}, f)
+
+    by_style = [np.flatnonzero(item_style == s) for s in range(n_styles)]
+
+    def coherent(length):
+        s = int(rng.integers(n_styles))
+        rows = rng.choice(by_style[s], size=length, replace=False)
+        return [ids[r] for r in rows]
+
+    def incoherent(length):
+        return [ids[r] for r in rng.choice(n, size=length, replace=False)]
+
+    def cp_rows(count):
+        rows = []
+        for i in range(count):
+            length = int(rng.integers(4, 12))
+            lab = i % 2
+            rows.append(
+                {"label": lab, "question": coherent(length) if lab else incoherent(length)}
+            )
+        return rows
+
+    def outfit_rows(count):
+        return [
+            {"item_ids": coherent(int(rng.integers(4, 12)))} for _ in range(count)
+        ]
+
+    def fitb_rows(count):
+        rows = []
+        for i in range(count):
+            members = coherent(int(rng.integers(4, 10)))
+            answer = members.pop()
+            wrong = [ids[r] for r in rng.choice(n, size=3, replace=False)]
+            cands = wrong + [answer]
+            perm = rng.permutation(4)
+            rows.append(
+                {
+                    "question": members,
+                    "answers": [cands[p] for p in perm],
+                    "label": int(np.argwhere(perm == 3)[0, 0]),
+                }
+            )
+        return rows
+
+    for mode, cnt in [("train", args.outfits), ("valid", args.outfits // 8), ("test", args.outfits // 8)]:
+        (t / "compatibility" / f"{mode}.json").write_text(json.dumps(cp_rows(cnt)))
+        (t / f"{mode}.json").write_text(json.dumps(outfit_rows(cnt)))
+    (t / "fill_in_the_blank" / "test.json").write_text(
+        json.dumps(fitb_rows(args.outfits // 8))
+    )
+    print(f"wrote synthetic polyvore to {out}: {n} items, {args.outfits} outfits/split")
+
+
+if __name__ == "__main__":
+    main()
