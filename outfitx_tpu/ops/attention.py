@@ -50,21 +50,24 @@ def _mha_reference(q, k, v, pad_mask, causal: bool = False):
 
 def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
     # Blocks: q/k/v (TB, 1, L, Dh); mask (TB, L).
-    q = q_ref[:, 0].astype(jnp.float32)  # (TB, L, Dh)
-    k = k_ref[:, 0].astype(jnp.float32)
-    v = v_ref[:, 0].astype(jnp.float32)
+    # Matmul operands stay in the input dtype (bf16 on the training path —
+    # the MXU's native rate; f32 operands would run at ~1/4 throughput);
+    # accumulation and softmax are f32.
+    q = q_ref[:, 0]  # (TB, L, Dh)
+    k = k_ref[:, 0]
+    v = v_ref[:, 0]
     dh = q.shape[-1]
     scores = jax.lax.dot_general(
         q,
         k,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) * (1.0 / (dh**0.5))  # (TB, L, L)
+    ) * (1.0 / (dh**0.5))  # (TB, L, L) f32
     mask = mask_ref[:][:, None, :]  # (TB, 1, L) key mask
     scores = jnp.where(mask, _NEG, scores)
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores)
-    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
     out = jax.lax.dot_general(
         probs,
         v,
