@@ -1,0 +1,108 @@
+"""Unit coverage for support modules: configs, mesh resolution, metric
+logging, best-metric tracking, batching edges, tokenizer determinism."""
+
+import json
+
+import numpy as np
+import pytest
+
+from outfitx_tpu.core.config import (
+    CIRTrainConfig,
+    ItemEncoderConfig,
+    MeshConfig,
+    OutfitXConfig,
+)
+from outfitx_tpu.core.mesh import MeshSpec, make_mesh
+from outfitx_tpu.data.sampler import eval_batches
+from outfitx_tpu.data.tokenizer import HashTokenizer, load_tokenizer
+from outfitx_tpu.train.checkpoint import BestMetricTracker
+from outfitx_tpu.train.metrics_log import MetricsLogger
+
+
+class TestConfigs:
+    def test_d_embed_derivation(self):
+        assert ItemEncoderConfig.for_type("siglip").d_embed == 1536
+        assert ItemEncoderConfig.for_type("clip").d_embed == 1024
+        assert ItemEncoderConfig.for_type("resnet_sbert").d_embed == 128
+        assert (
+            ItemEncoderConfig(dim_per_modality=64, aggregation="mean").d_embed
+            == 64
+        )
+
+    def test_model_name_scheme(self):
+        assert OutfitXConfig().model_name == "outfitx-tpu-siglip-d1536"
+
+    def test_configs_hashable(self):
+        # frozen configs must be usable as jit static args
+        hash(OutfitXConfig())
+        hash(CIRTrainConfig())
+
+    def test_mesh_resolve(self):
+        assert MeshConfig(data=-1, model=2).resolve(8) == (4, 2)
+        assert MeshConfig(data=3, model=1).resolve(8) == (3, 1)
+        assert MeshConfig().resolve(1) == (1, 1)
+
+    def test_make_mesh_too_many_devices(self):
+        with pytest.raises(ValueError, match="devices"):
+            make_mesh(MeshSpec(data=64, model=4))
+
+
+class TestBestMetricTracker:
+    def test_max_and_min_modes(self):
+        t = BestMetricTracker(auc="max", loss="min")
+        assert t.update("auc", 0.5) and t.update("loss", 1.0)
+        assert not t.update("auc", 0.4)
+        assert t.update("auc", 0.6)
+        assert t.update("loss", 0.9)
+        assert not t.update("loss", 2.0)
+        assert t.best == {"auc": 0.6, "loss": 0.9}
+
+
+class TestEvalBatches:
+    def test_exact_multiple_has_no_padding(self):
+        arrays = {"x": np.arange(8)}
+        batches = list(eval_batches(arrays, batch_size=4))
+        assert len(batches) == 2
+        assert all(b["valid"].all() for b in batches)
+
+    def test_wraparound_marked_invalid(self):
+        arrays = {"x": np.arange(5)}
+        batches = list(eval_batches(arrays, batch_size=4))
+        assert len(batches) == 2
+        assert batches[1]["valid"].tolist() == [True, False, False, False]
+        # every original element appears exactly once among valid rows
+        seen = np.concatenate(
+            [b["x"][b["valid"]] for b in batches]
+        )
+        np.testing.assert_array_equal(np.sort(seen), np.arange(5))
+
+
+class TestTokenizer:
+    def test_hash_tokenizer_deterministic_and_shaped(self):
+        tok = HashTokenizer(vocab_size=1000, bos=997, eos=998)
+        ids1, mask1 = tok(["red shirt", "blue jeans and boots"], max_length=8)
+        ids2, _ = tok(["red shirt", "blue jeans and boots"], max_length=8)
+        np.testing.assert_array_equal(ids1, ids2)
+        assert ids1.shape == (2, 8)
+        assert ids1[0, 0] == 997  # bos
+        assert 998 in ids1[0]  # eos
+        assert mask1[0].sum() == 4  # bos + 2 words + eos
+
+    def test_load_tokenizer_falls_back(self):
+        tok = load_tokenizer("definitely/not-a-local-model", vocab_size=500)
+        assert isinstance(tok, HashTokenizer)
+
+
+class TestMetricsLogger:
+    def test_jsonl_records(self, tmp_path):
+        ml = MetricsLogger(tmp_path, "runx")
+        ml.log("train", 0, {"loss": 1.5})
+        ml.log("valid", 0, {"auc": 0.9})
+        ml.close()
+        lines = [
+            json.loads(x)
+            for x in (tmp_path / "runx_metrics.jsonl").read_text().splitlines()
+        ]
+        assert lines[0]["split"] == "train" and lines[0]["loss"] == 1.5
+        assert lines[1]["auc"] == 0.9
+        assert all("ts" in rec for rec in lines)
