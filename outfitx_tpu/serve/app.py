@@ -7,6 +7,7 @@ FITB pick) exposed both as a minimal HTML UI and a JSON API:
 
     GET  /                 HTML UI
     GET  /api/sample?n=4   random outfit from the catalog
+    GET  /api/similar?item_id=N  nearest catalog neighbours of an item
     POST /api/cp           {"outfit": [ids]}               -> {"score"}
     POST /api/cir          {"outfit": [ids], "target": id} -> {"items": [...]}
     POST /api/fitb         {"outfit": [ids], "candidates": [ids]} -> {"pick"}
@@ -81,6 +82,17 @@ def make_handler(engine):
                     except ValueError:
                         pass
                 return self._send(200, {"outfit": engine.sample_outfit(n)})
+            if self.path.startswith("/api/similar"):
+                try:
+                    item_id = int(self.path.split("item_id=")[1].split("&")[0])
+                except (IndexError, ValueError):
+                    return self._send(400, {"error": "item_id required"})
+                try:
+                    return self._send(
+                        200, {"items": engine.similar_items(item_id)}
+                    )
+                except KeyError as e:
+                    return self._send(404, {"error": str(e.args[0])})
             if self.path.startswith("/api/health"):
                 return self._send(200, {"ok": True, "mock": engine.mock})
             return self._send(404, {"error": "not found"})

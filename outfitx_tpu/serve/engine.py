@@ -163,6 +163,26 @@ class ServingEngine:
             ),
         }
 
+    def similar_items(self, item_id: int, k: int = 10) -> List[Dict]:
+        """Nearest catalog neighbours of an item by embedding L2 (serving
+        convenience beyond the reference demo)."""
+        row = self.lookup_row(item_id)
+        q = self.catalog_dev[row][None, :]
+        if self._qcat is not None:
+            from outfitx_tpu.ops.quantization import retrieve_quantized
+
+            d2, idx = retrieve_quantized(q, self._qcat, k=k + 1)
+        else:
+            d2, idx = retrieve(
+                q, self.catalog_dev[: self.catalog.n_items], k=k + 1
+            )
+        out = []
+        for i, dist in zip(np.asarray(idx)[0], np.asarray(d2)[0]):
+            if int(i) == row:
+                continue  # skip the query item itself
+            out.append(self._item_info(int(i), float(dist)))
+        return out[:k]
+
     def sample_outfit(self, n: int = 4) -> List[int]:
         rows = self._rng.choice(self.catalog.n_items, n, replace=False)
         return [int(self.catalog.item_ids[r]) for r in rows]

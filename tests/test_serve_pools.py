@@ -49,3 +49,28 @@ def test_build_engine_synthetic_has_pools():
 
     eng = build_engine(synthetic=True, mock=True)
     assert eng.pools is not None and len(eng.pools.pools) > 0
+
+
+def test_similar_items_excludes_self():
+    import jax
+
+    from outfitx_tpu.models import OutfitXModel
+
+    model_cfg = OutfitXConfig(
+        item_encoder=ItemEncoderConfig(dim_per_modality=16),
+        transformer=TransformerConfig(n_heads=4, d_ffn=64, n_layers=1, dropout=0.0),
+        max_outfit_len=8,
+        compute_dtype="float32",
+    )
+    data = make_synthetic(n_items=200, d_embed=32, n_outfits=32, seed=3)
+    params = OutfitXModel(model_cfg).init(jax.random.PRNGKey(0))
+    eng = ServingEngine(
+        model_cfg=model_cfg, catalog=data.catalog,
+        cp_params=params, cir_params=params,
+    )
+    iid = eng.sample_outfit(1)[0]
+    items = eng.similar_items(iid, k=5)
+    assert len(items) == 5
+    assert all(i["item_id"] != iid for i in items)
+    scores = [i["score"] for i in items]
+    assert scores == sorted(scores)
