@@ -98,9 +98,10 @@ class CIRTrainer(Trainer):
                 self._catalog, self.cfg.dataset_dir, self.cfg.polyvore_type,
                 "train", self.model_cfg.max_outfit_len,
             )
+            eval_mode = "test" if self.run_mode == "test" else "valid"
             self._valid_split = OutfitSplit.load(
                 self._catalog, self.cfg.dataset_dir, self.cfg.polyvore_type,
-                "valid", self.model_cfg.max_outfit_len,
+                eval_mode, self.model_cfg.max_outfit_len,
             )
             self.load_optimizer()
         self.catalog_dev = jnp.asarray(self._catalog.embeddings)

@@ -90,9 +90,12 @@ class CPTrainer(Trainer):
                 self._catalog, self.cfg.dataset_dir, self.cfg.polyvore_type,
                 "train", self.model_cfg.max_outfit_len,
             )
+            # test mode evaluates the test split (reference
+            # setup_test_dataloader); train-valid uses valid
+            eval_mode = "test" if self.run_mode == "test" else "valid"
             self._valid_split = CPSplit.load(
                 self._catalog, self.cfg.dataset_dir, self.cfg.polyvore_type,
-                "valid", self.model_cfg.max_outfit_len,
+                eval_mode, self.model_cfg.max_outfit_len,
             )
             # data loaded before the optimizer needs len(); re-derive schedule
             self.load_optimizer()
