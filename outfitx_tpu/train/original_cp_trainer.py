@@ -265,6 +265,7 @@ class OriginalCPTrainer(Trainer):
                 catalog, self.cfg.dataset_dir,
                 image_size=self.encoder.image_size,
                 tokenizer=tokenizer,
+                text_len=min(16, self.encoder.text.cfg.max_len),
             )
         self.load_optimizer()
 

@@ -22,18 +22,24 @@ import pickle
 import numpy as np
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--out", required=True)
-    ap.add_argument("--items", type=int, default=20_000)
-    ap.add_argument("--d-embed", type=int, default=1536)
-    ap.add_argument("--outfits", type=int, default=8_000)
-    ap.add_argument("--model-name", default="outfitx-tpu-siglip-d1536")
-    ap.add_argument("--seed", type=int, default=0)
-    args = ap.parse_args()
+def generate(
+    out,
+    *,
+    items: int = 20_000,
+    d_embed: int = 1536,
+    outfits: int = 8_000,
+    model_name: str = "outfitx-tpu-siglip-d1536",
+    seed: int = 0,
+    image_size: int = 0,  # >0: also write images/{id}.jpg at this size
+):
+    import types
 
+    args = types.SimpleNamespace(
+        items=items, d_embed=d_embed, outfits=outfits,
+        model_name=model_name, seed=seed, image_size=image_size,
+    )
     rng = np.random.default_rng(args.seed)
-    out = pathlib.Path(args.out)
+    out = pathlib.Path(out)
     (out / "precomputed_embeddings").mkdir(parents=True, exist_ok=True)
     t = out / "nondisjoint"
     (t / "compatibility").mkdir(parents=True, exist_ok=True)
@@ -81,6 +87,7 @@ def main() -> None:
 
     def coherent(length):
         s = int(rng.integers(n_styles))
+        length = min(length, len(by_style[s]))  # tiny test datasets
         rows = rng.choice(by_style[s], size=length, replace=False)
         return [ids[r] for r in rows]
 
@@ -125,7 +132,41 @@ def main() -> None:
     (t / "fill_in_the_blank" / "test.json").write_text(
         json.dumps(fitb_rows(args.outfits // 8))
     )
-    print(f"wrote synthetic polyvore to {out}: {n} items, {args.outfits} outfits/split")
+    if args.image_size:
+        from PIL import Image
+
+        (out / "images").mkdir(exist_ok=True)
+        s_img = args.image_size
+        for i in range(n):
+            # style-colored noise so the image carries the planted signal
+            base = np.full((s_img, s_img, 3), 0, dtype=np.int16)
+            base[..., 0] = int(80 + 170 * (item_style[i] / n_styles))
+            base[..., 1] = int(80 + 170 * ((item_style[i] * 7) % n_styles) / n_styles)
+            noise = rng.integers(-40, 40, (s_img, s_img, 3), dtype=np.int16)
+            arr = np.clip(base + noise, 0, 255).astype(np.uint8)
+            Image.fromarray(arr).save(out / "images" / f"{ids[i]}.jpg")
+    print(
+        f"wrote synthetic polyvore to {out}: {n} items, "
+        f"{args.outfits} outfits/split"
+        + (f", images@{args.image_size}px" if args.image_size else "")
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--items", type=int, default=20_000)
+    ap.add_argument("--d-embed", type=int, default=1536)
+    ap.add_argument("--outfits", type=int, default=8_000)
+    ap.add_argument("--model-name", default="outfitx-tpu-siglip-d1536")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--image-size", type=int, default=0)
+    args = ap.parse_args()
+    generate(
+        args.out, items=args.items, d_embed=args.d_embed,
+        outfits=args.outfits, model_name=args.model_name, seed=args.seed,
+        image_size=args.image_size,
+    )
 
 
 if __name__ == "__main__":
