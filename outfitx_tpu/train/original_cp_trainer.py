@@ -312,30 +312,39 @@ class OriginalCPTrainer(Trainer):
         return m
 
     def valid_epoch(self, epoch: int) -> Dict[str, float]:
+        from outfitx_tpu.data.sampler import eval_batches
+
         split = self._valid_split
-        scores_all = []
+        scores_all, labels_all, valids = [], [], []
         bsz = self.cfg.batch_size
         l = split.item_rows.shape[1]
-        n = len(split)
-        n_full = (n // bsz) * bsz
-        for start in range(0, n_full, bsz):
-            sel = np.arange(start, start + bsz)
-            raw = self._source.gather(split.item_rows[sel].ravel())
+        for eb in eval_batches(
+            {
+                "item_rows": split.item_rows,
+                "mask": split.mask,
+                "label": split.labels,
+            },
+            batch_size=bsz,
+        ):
+            raw = self._source.gather(eb["item_rows"].ravel())
             s = raw["images"].shape[-1]
             t = raw["input_ids"].shape[-1]
             batch = {
                 "images": raw["images"].reshape(bsz, l, 3, s, s),
                 "input_ids": raw["input_ids"].reshape(bsz, l, t),
                 "attn": raw["attn"].reshape(bsz, l, t),
-                "mask": split.mask[sel],
+                "mask": eb["mask"],
             }
             scores_all.append(np.asarray(jax.device_get(
                 self.eval_step(self.state.params, self.frozen, batch)
             )))
+            labels_all.append(eb["label"])
+            valids.append(eb["valid"])
         if not scores_all:
             return {}
-        scores = np.concatenate(scores_all)
-        labels = split.labels[:n_full]
+        valid = np.concatenate(valids)
+        scores = np.concatenate(scores_all)[valid]
+        labels = np.concatenate(labels_all)[valid]
         m = binary_classification_metrics(scores, labels, from_logits=True)
         m["loss"] = float(
             focal_loss(
