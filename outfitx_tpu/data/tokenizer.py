@@ -19,10 +19,17 @@ import numpy as np
 class HashTokenizer:
     """Deterministic word-hash tokenizer with BOS/EOS, CLIP-style layout."""
 
-    def __init__(self, vocab_size: int = 49408, bos: int = 49406, eos: int = 49407):
+    def __init__(
+        self,
+        vocab_size: int = 49408,
+        bos: int | None = None,
+        eos: int | None = None,
+    ):
         self.vocab_size = vocab_size
-        self.bos = bos
-        self.eos = eos
+        # specials live at the top of the vocab (CLIP convention), clamped
+        # to the actual vocab so small-vocab towers never see OOB ids
+        self.bos = bos if bos is not None else vocab_size - 2
+        self.eos = eos if eos is not None else vocab_size - 1
 
     def _word_id(self, w: str) -> int:
         h = int.from_bytes(hashlib.md5(w.encode()).digest()[:4], "little")
