@@ -74,3 +74,27 @@ def test_similar_items_excludes_self():
     assert all(i["item_id"] != iid for i in items)
     scores = [i["score"] for i in items]
     assert scores == sorted(scores)
+
+
+def test_quantized_engine_whole_catalog():
+    import jax
+
+    from outfitx_tpu.models import OutfitXModel
+
+    model_cfg = OutfitXConfig(
+        item_encoder=ItemEncoderConfig(dim_per_modality=16),
+        transformer=TransformerConfig(n_heads=4, d_ffn=64, n_layers=1, dropout=0.0),
+        max_outfit_len=8,
+        compute_dtype="float32",
+    )
+    data = make_synthetic(n_items=300, d_embed=32, n_outfits=32, seed=4)
+    params = OutfitXModel(model_cfg).init(jax.random.PRNGKey(0))
+    eng = ServingEngine(
+        model_cfg=model_cfg, catalog=data.catalog,
+        cp_params=params, cir_params=params, quantized=True,
+    )
+    assert eng._qcat is not None
+    items = eng.cir_top10(eng.sample_outfit(3), eng.sample_outfit(1)[0])
+    assert len(items) == 10
+    sims = eng.similar_items(eng.sample_outfit(1)[0], k=5)
+    assert len(sims) == 5
