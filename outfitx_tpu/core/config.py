@@ -166,6 +166,8 @@ class TrainConfig:
     checkpoint_dir: str = "checkpoints"
     log_dir: str = "logs"
     remat: bool = False  # jax.checkpoint the encoder layers
+    log_every_steps: int = 0  # >0: per-step train loss to the metrics JSONL
+    # (the reference's {metric}/train/batch wandb stream)
 
 
 @dataclasses.dataclass(frozen=True)

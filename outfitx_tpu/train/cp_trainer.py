@@ -109,19 +109,27 @@ class CPTrainer(Trainer):
     # ------------------------------------------------------------ train --
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         losses, all_scores, all_labels = [], [], []
-        for batch in cp_train_batches(
+        log_every = self.cfg.log_every_steps
+        for step_i, batch in enumerate(cp_train_batches(
             self._train_split,
             batch_size=self.cfg.batch_size,
             accum_steps=self.cfg.accumulation_steps,
             epoch=epoch,
             seed=self.cfg.seed,
-        ):
+        )):
             self.state, out = self.train_step(
                 self.state, self.catalog_dev, batch
             )
             losses.append(out["loss"])
             all_scores.append(out["scores"])
             all_labels.append(out["labels"])
+            if log_every and (step_i + 1) % log_every == 0:
+                # per-batch stream (reference {metric}/train/batch)
+                self.metrics_log.log(
+                    "train_batch", epoch,
+                    {"loss": float(jax.device_get(out["loss"]))},
+                    step=int(jax.device_get(self.state.step)),
+                )
         if not losses:
             return {}
         # One host sync at epoch end (losses/scores pulled together).

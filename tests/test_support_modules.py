@@ -106,3 +106,37 @@ class TestMetricsLogger:
         assert lines[0]["split"] == "train" and lines[0]["loss"] == 1.5
         assert lines[1]["auc"] == 0.9
         assert all("ts" in rec for rec in lines)
+
+
+class TestPerStepLogging:
+    def test_cp_trainer_batch_stream(self, tmp_path):
+        import dataclasses
+
+        from outfitx_tpu.core.config import (
+            CPTrainConfig,
+            OptimizerConfig,
+            TransformerConfig,
+        )
+        from outfitx_tpu.data.synthetic import make_synthetic
+        from outfitx_tpu.train.cp_trainer import CPTrainer
+
+        synth = make_synthetic(n_items=200, d_embed=32, n_outfits=128, seed=2)
+        model_cfg = OutfitXConfig(
+            item_encoder=ItemEncoderConfig(dim_per_modality=16),
+            transformer=TransformerConfig(n_heads=4, d_ffn=32, n_layers=1, dropout=0.0),
+            max_outfit_len=8,
+            compute_dtype="float32",
+        )
+        cfg = CPTrainConfig(
+            n_epochs=1, batch_size=32, accumulation_steps=1,
+            optimizer=OptimizerConfig(learning_rate=1e-3),
+            log_every_steps=2,
+            checkpoint_dir=str(tmp_path / "c"), log_dir=str(tmp_path / "l"),
+        )
+        with CPTrainer(cfg, model_cfg, catalog=synth.catalog,
+                       train_split=synth.cp_train,
+                       valid_split=synth.cp_valid) as t:
+            t.run()
+            name = t.model_name
+        text = (tmp_path / "l" / f"{name}_metrics.jsonl").read_text()
+        assert '"split": "train_batch"' in text
