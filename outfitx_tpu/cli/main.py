@@ -44,6 +44,8 @@ _common = [
                  help="default: train-valid (fitb: test)"),
     click.option("--synthetic", is_flag=True, help="use generated data"),
     click.option("--dataset-dir", default="datasets/polyvore"),
+    click.option("--polyvore-type", type=click.Choice(["nondisjoint", "disjoint"]),
+                 default="nondisjoint"),
     click.option("--checkpoint-dir", default="checkpoints"),
     click.option("--epochs", type=int, default=None),
     click.option("--batch-size", type=int, default=None),
@@ -69,6 +71,7 @@ def _resolve_mode(kw, default="train-valid"):
 def _build_cfg(cls, kw, **extra):
     overrides = dict(
         dataset_dir=kw["dataset_dir"],
+        polyvore_type=kw["polyvore_type"],
         checkpoint_dir=kw["checkpoint_dir"],
         mesh=MeshConfig(data=kw["mesh_data"], model=kw["mesh_model"]),
         **extra,
