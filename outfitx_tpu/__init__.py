@@ -20,7 +20,37 @@ A from-scratch rebuild of the capabilities of the reference system
 __version__ = "0.1.0"
 
 from outfitx_tpu.core.config import (  # noqa: F401
+    CIRTrainConfig,
+    CPTrainConfig,
+    FITBTrainConfig,
     ItemEncoderConfig,
+    MeshConfig,
+    OptimizerConfig,
     OutfitXConfig,
+    PrecomputeConfig,
+    TrainConfig,
     TransformerConfig,
 )
+
+_LAZY = {
+    "OutfitXModel": "outfitx_tpu.models",
+    "Task": "outfitx_tpu.models",
+    "ItemEncoderModel": "outfitx_tpu.models.item_encoder",
+    "Catalog": "outfitx_tpu.data.catalog",
+    "CPTrainer": "outfitx_tpu.train.cp_trainer",
+    "CIRTrainer": "outfitx_tpu.train.cir_trainer",
+    "FITBTrainer": "outfitx_tpu.train.fitb_trainer",
+    "OriginalCPTrainer": "outfitx_tpu.train.original_cp_trainer",
+    "PrecomputeRunner": "outfitx_tpu.train.precompute",
+    "ServingEngine": "outfitx_tpu.serve.engine",
+}
+
+
+def __getattr__(name: str):
+    """Lazy top-level exports (`from outfitx_tpu import CPTrainer`) without
+    paying the heavy jax/model import cost for config-only users."""
+    if name in _LAZY:
+        import importlib
+
+        return getattr(importlib.import_module(_LAZY[name]), name)
+    raise AttributeError(f"module 'outfitx_tpu' has no attribute {name!r}")
