@@ -40,6 +40,48 @@ def retrieve(queries, pool, k: int):
     return topk_smallest(d2, k)
 
 
+def retrieve_chunked(queries, pool, k: int, *, chunk_size: int = 65_536):
+    """Top-k retrieval with the pool streamed in chunks.
+
+    For catalogs where the full (Q, N) distance matrix would not fit
+    (millions of items), a `lax.scan` over pool chunks keeps a running
+    (Q, k) best set: per chunk compute distances, concatenate with the
+    incumbents, re-top-k. Peak memory is Q x (k + chunk) instead of Q x N.
+    Returns (dists2 (Q, k), global indices (Q, k)).
+    """
+    n, d = pool.shape
+    k = min(k, n)
+    n_chunks = -(-n // chunk_size)
+    pad_n = n_chunks * chunk_size
+    if pad_n != n:
+        pool = jnp.pad(pool, ((0, pad_n - n), (0, 0)))
+    chunks = pool.reshape(n_chunks, chunk_size, d)
+    q = queries.astype(jnp.float32)
+    big = jnp.float32(3.4e38)
+
+    def body(carry, xs):
+        best_d, best_i = carry
+        chunk, start = xs
+        d2 = pairwise_l2(q, chunk, squared=True)
+        # padded pool rows (beyond n) must never win
+        idx = start + jnp.arange(chunk_size)
+        d2 = jnp.where((idx < n)[None, :], d2, big)
+        cat_d = jnp.concatenate([best_d, d2], axis=1)
+        cat_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(idx[None, :], d2.shape)], axis=1
+        )
+        neg, pos = jax.lax.top_k(-cat_d, k)
+        return (-neg, jnp.take_along_axis(cat_i, pos, axis=1)), None
+
+    init = (
+        jnp.full((q.shape[0], k), big, dtype=jnp.float32),
+        jnp.zeros((q.shape[0], k), dtype=jnp.int32),
+    )
+    starts = jnp.arange(n_chunks) * chunk_size
+    (best_d, best_i), _ = jax.lax.scan(body, init, (chunks, starts))
+    return best_d, best_i
+
+
 def fitb_pick(query_emb, candidate_embs):
     """FITB: argmin L2 over per-row candidates.
 

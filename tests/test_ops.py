@@ -152,3 +152,30 @@ class TestRetrieval:
         got = np.asarray(fitb_pick(jnp.asarray(q), jnp.asarray(c)))
         want = np.argmin(((c - q[:, None, :]) ** 2).sum(-1), axis=1)
         np.testing.assert_array_equal(got, want)
+
+
+class TestChunkedRetrieval:
+    def test_matches_dense_retrieve(self, rng):
+        from outfitx_tpu.ops.retrieval import retrieve, retrieve_chunked
+
+        q = jnp.asarray(rng.standard_normal((6, 24)), dtype=jnp.float32)
+        pool = jnp.asarray(rng.standard_normal((1000, 24)), dtype=jnp.float32)
+        d_dense, i_dense = retrieve(q, pool, k=12)
+        # chunk size that does NOT divide the pool exercises padding
+        d_chunk, i_chunk = retrieve_chunked(q, pool, k=12, chunk_size=192)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(d_chunk), axis=1),
+            np.sort(np.asarray(d_dense), axis=1),
+            atol=1e-3, rtol=1e-3,
+        )
+        for a, b in zip(np.asarray(i_chunk), np.asarray(i_dense)):
+            assert set(a.tolist()) == set(b.tolist())
+
+    def test_k_larger_than_pool(self, rng):
+        from outfitx_tpu.ops.retrieval import retrieve_chunked
+
+        q = jnp.asarray(rng.standard_normal((2, 8)), dtype=jnp.float32)
+        pool = jnp.asarray(rng.standard_normal((5, 8)), dtype=jnp.float32)
+        d, i = retrieve_chunked(q, pool, k=10, chunk_size=4)
+        assert d.shape == (2, 5)  # clamped to pool size
+        assert set(np.asarray(i)[0].tolist()) == set(range(5))
