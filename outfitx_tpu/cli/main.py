@@ -262,15 +262,7 @@ def demo(port, synthetic, mock, quantized):
     """Serving demo (reference src/demo/app.py, port 6006)."""
     from outfitx_tpu.serve.app import build_engine, serve
 
-    engine = build_engine(synthetic=synthetic, mock=mock)
-    if quantized:
-        from outfitx_tpu.ops.quantization import quantize_catalog
-
-        engine.quantized = True
-        engine._qcat = quantize_catalog(
-            engine.catalog_dev[: engine.catalog.n_items]
-        )
-        engine.pools = None  # whole-catalog retrieval path uses int8
+    engine = build_engine(synthetic=synthetic, mock=mock, quantized=quantized)
     serve(port=port, engine=engine, mock=mock)
 
 

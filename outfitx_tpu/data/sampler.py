@@ -124,6 +124,70 @@ class NegativeSampler:
         return rows, mask
 
 
+def sample_negatives_batch(
+    sampler: "NegativeSampler",
+    pos_rows: np.ndarray,
+    *,
+    k: int,
+    seed: int,
+    epoch: int,
+    impl: str = "auto",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Negatives for a batch of fixed positives — the CIR eval-loss path
+    (reference valid_epoch resamples per query every epoch,
+    complementary_item_retrieval_trainer.py:122-170). O(batch), no per-query
+    Python loop: one C call ('native') or grouped Gumbel-top-k numpy
+    ('numpy'). Both deterministic in (seed, epoch), independent streams.
+
+    Returns (neg_rows (n, k) int32, neg_mask (n, k) bool True=pad)."""
+    pos_rows = np.asarray(pos_rows, dtype=np.int32)
+    if impl == "auto":
+        from outfitx_tpu import native
+
+        impl = "native" if native.available() else "numpy"
+    if impl == "native":
+        from outfitx_tpu.native import NegativeBatchSampler
+
+        cache = getattr(sampler, "_native_batch", None)
+        if cache is None:
+            cache = sampler._native_batch = {}
+        nb = cache.get((k, seed))
+        if nb is None:
+            _, dense = np.unique(sampler.key_col, return_inverse=True)
+            nb = NegativeBatchSampler(dense.astype(np.int32), k=k, seed=seed)
+            cache[(k, seed)] = nb
+        return nb.sample(pos_rows, epoch)
+
+    n = len(pos_rows)
+    rng = _epoch_rng(seed, epoch, 9)
+    neg = np.zeros((n, k), dtype=np.int32)
+    negm = np.ones((n, k), dtype=bool)
+    keys = np.asarray(sampler.key_col)[pos_rows]
+    for key in np.unique(keys):
+        rows = np.flatnonzero(keys == key)
+        pool = sampler.pools[int(key)]
+        m = len(pool)
+        if m - 1 <= 0:
+            continue
+        if m - 1 <= k:  # whole pool minus the positive (tiny pools)
+            for j in rows:
+                got = pool[pool != pos_rows[j]][:k]
+                neg[j, : len(got)] = got
+                negm[j, : len(got)] = False
+            continue
+        # Gumbel-top-k without replacement; the positive's slot is pushed
+        # to +inf so it can never be drawn. Chunked to bound peak memory.
+        chunk = max(1, 4_000_000 // m)
+        for s in range(0, len(rows), chunk):
+            rr = rows[s : s + chunk]
+            z = rng.random((len(rr), m))
+            z[pool[None, :] == pos_rows[rr][:, None]] = np.inf
+            pick = np.argpartition(z, k, axis=1)[:, :k]
+            neg[rr] = pool[pick]
+            negm[rr] = False
+    return neg, negm
+
+
 def cir_train_batches(
     split: OutfitSplit,
     catalog: Catalog,
@@ -258,24 +322,64 @@ def cir_eval_queries(
     *,
     seed: int,
     max_len: int = 16,
+    impl: str = "auto",
 ) -> Dict[str, np.ndarray]:
     """Deterministic eval queries: one query per outfit with a fixed
     (seeded) positive choice. Returns columnar arrays with the positive's
-    category_id for pool routing."""
+    category_id for pool routing. 'native' runs the one-pass C assembler;
+    'python' the numpy loop (independent deterministic RNG streams)."""
     n = len(split)
-    rng = _epoch_rng(seed, 0, 2)
-    item_idx = np.full((n, max_len), catalog.pad_row, dtype=np.int32)
-    mask = np.ones((n, max_len), dtype=bool)
-    pos_idx = np.zeros(n, dtype=np.int32)
-    for i in range(n):
-        length = int(split.lengths[i])
-        members = split.item_rows[i, :length].copy()
-        elig = np.flatnonzero(split.pos_eligible[i, :length])
-        p = int(rng.choice(elig))
-        pos_idx[i] = members[p]
-        partial = np.delete(members, p)
-        item_idx[i, : len(partial)] = partial
-        mask[i, : len(partial)] = False
+    if impl == "auto":
+        from outfitx_tpu import native
+
+        impl = (
+            "native"
+            if native.available() and n > 0 and max_len <= 64
+            else "python"
+        )
+    if impl == "native":
+        import ctypes
+
+        from outfitx_tpu import native
+
+        lib = native.load()
+        item_rows = np.ascontiguousarray(
+            split.item_rows[:, :max_len], dtype=np.int32
+        )
+        lengths = np.ascontiguousarray(split.lengths, dtype=np.int32)
+        pos_eligible = np.ascontiguousarray(
+            split.pos_eligible[:, :max_len].astype(np.uint8)
+        )
+        item_idx = np.empty((n, max_len), dtype=np.int32)
+        mask_u8 = np.empty((n, max_len), dtype=np.uint8)
+        pos_idx = np.empty(n, dtype=np.int32)
+        lib.cir_eval_assemble(
+            native._p(item_rows, ctypes.c_int32),
+            native._p(lengths, ctypes.c_int32),
+            native._p(pos_eligible, ctypes.c_uint8),
+            ctypes.c_int64(n),
+            ctypes.c_int32(max_len),
+            ctypes.c_int32(catalog.pad_row),
+            ctypes.c_uint64(seed),
+            native._p(item_idx, ctypes.c_int32),
+            native._p(mask_u8, ctypes.c_uint8),
+            native._p(pos_idx, ctypes.c_int32),
+        )
+        mask = mask_u8.astype(bool)
+    else:
+        rng = _epoch_rng(seed, 0, 2)
+        item_idx = np.full((n, max_len), catalog.pad_row, dtype=np.int32)
+        mask = np.ones((n, max_len), dtype=bool)
+        pos_idx = np.zeros(n, dtype=np.int32)
+        for i in range(n):
+            length = int(split.lengths[i])
+            members = split.item_rows[i, :length].copy()
+            elig = np.flatnonzero(split.pos_eligible[i, :length])
+            p = int(rng.choice(elig))
+            pos_idx[i] = members[p]
+            partial = np.delete(members, p)
+            item_idx[i, : len(partial)] = partial
+            mask[i, : len(partial)] = False
     pos_category = catalog.category_id[pos_idx].astype(np.int32)
     return {
         "item_idx": item_idx,

@@ -63,6 +63,13 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_int32, ctypes.c_uint64,
         i32p, u8p, i32p,
     ]
+    lib.negatives_assemble.restype = None
+    lib.negatives_assemble.argtypes = [
+        i32p, ctypes.c_int64,
+        i32p, i32p, i32p,
+        ctypes.c_int32, ctypes.c_uint64, ctypes.c_uint64,
+        i32p, u8p,
+    ]
     _lib = lib
     return _lib
 
@@ -73,6 +80,52 @@ def available() -> bool:
 
 def _p(a: np.ndarray, ctype):
     return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def _csr_pools(key_of_row: np.ndarray):
+    """CSR grouping of catalog rows by sampling key."""
+    key_of_row = np.ascontiguousarray(key_of_row, dtype=np.int32)
+    n_keys = int(key_of_row.max()) + 1 if len(key_of_row) else 1
+    order = np.argsort(key_of_row, kind="stable").astype(np.int32)
+    counts = np.bincount(key_of_row, minlength=n_keys)
+    offsets = np.zeros(n_keys + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    return key_of_row, offsets, order
+
+
+class NegativeBatchSampler:
+    """Batched k-distinct same-key negative sampling for fixed positives
+    (the CIR eval-loss path). One C call per epoch instead of a per-query
+    Python loop."""
+
+    def __init__(self, key_of_row: np.ndarray, *, k: int, seed: int):
+        self.lib = load()
+        if self.lib is None:
+            raise RuntimeError("native sampling library unavailable")
+        self.key_of_row, self.pool_offsets, self.pool_rows = _csr_pools(
+            key_of_row
+        )
+        self.k = k
+        self.seed = seed
+
+    def sample(self, pos_rows: np.ndarray, epoch: int):
+        pos_rows = np.ascontiguousarray(pos_rows, dtype=np.int32)
+        n = len(pos_rows)
+        out_neg = np.empty((n, self.k), dtype=np.int32)
+        out_negm = np.empty((n, self.k), dtype=np.uint8)
+        self.lib.negatives_assemble(
+            _p(pos_rows, ctypes.c_int32),
+            ctypes.c_int64(n),
+            _p(self.key_of_row, ctypes.c_int32),
+            _p(self.pool_offsets, ctypes.c_int32),
+            _p(self.pool_rows, ctypes.c_int32),
+            ctypes.c_int32(self.k),
+            ctypes.c_uint64(self.seed),
+            ctypes.c_uint64(epoch),
+            _p(out_neg, ctypes.c_int32),
+            _p(out_negm, ctypes.c_uint8),
+        )
+        return out_neg, out_negm.astype(bool)
 
 
 class CIRAssembler:
@@ -101,14 +154,9 @@ class CIRAssembler:
         if self.L > 64:
             raise ValueError("native assembler supports outfits up to L=64")
         # CSR pools grouped by key
-        key_of_row = np.ascontiguousarray(key_of_row, dtype=np.int32)
-        n_keys = int(key_of_row.max()) + 1 if len(key_of_row) else 1
-        order = np.argsort(key_of_row, kind="stable").astype(np.int32)
-        counts = np.bincount(key_of_row, minlength=n_keys)
-        self.pool_offsets = np.zeros(n_keys + 1, dtype=np.int32)
-        np.cumsum(counts, out=self.pool_offsets[1:])
-        self.pool_rows = order
-        self.key_of_row = key_of_row
+        self.key_of_row, self.pool_offsets, self.pool_rows = _csr_pools(
+            key_of_row
+        )
         self.pad_row = pad_row
         self.k = k
         self.seed = seed

@@ -51,6 +51,37 @@ inline uint64_t mix(uint64_t a, uint64_t b, uint64_t c) {
   return s.next();
 }
 
+// k distinct same-key negatives excluding pos_row, from a CSR pool slice.
+// Writes k entries to `on` and pad flags to `onm` (1 = pad).
+inline void draw_negatives(SplitMix64& rng, int32_t pos_row,
+                           const int32_t* pool_rows, int32_t lo, int32_t hi,
+                           int32_t k, int32_t* on, uint8_t* onm) {
+  const int32_t pool_n = hi - lo;
+  int32_t got = 0;
+  if (pool_n - 1 <= 0) {
+    // no candidates at all
+  } else if (pool_n - 1 <= k) {
+    for (int32_t t = lo; t < hi && got < k; ++t)
+      if (pool_rows[t] != pos_row) on[got++] = pool_rows[t];
+  } else {
+    // rejection sampling with a small linear-probe dedup (k is ~10)
+    int32_t tries = 0;
+    const int32_t max_tries = 64 * k;
+    while (got < k && tries < max_tries) {
+      ++tries;
+      const int32_t cand =
+          pool_rows[lo + rng.below(static_cast<uint32_t>(pool_n))];
+      if (cand == pos_row) continue;
+      bool dup = false;
+      for (int32_t t = 0; t < got; ++t)
+        if (on[t] == cand) { dup = true; break; }
+      if (!dup) on[got++] = cand;
+    }
+  }
+  for (int32_t t = 0; t < k; ++t) onm[t] = t < got ? 0 : 1;
+  for (int32_t t = got; t < k; ++t) on[t] = 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -118,34 +149,28 @@ void cir_assemble(const int32_t* item_rows, const int32_t* lengths,
 
     // negatives: k distinct draws from the positive's pool, excluding it
     const int32_t key = key_of_row[pos_row];
-    const int32_t lo = pool_offsets[key];
-    const int32_t hi = pool_offsets[key + 1];
-    const int32_t pool_n = hi - lo;
-    int32_t* on = out_neg_idx + j * k;
-    uint8_t* onm = out_neg_mask + j * k;
-    int32_t got = 0;
-    if (pool_n - 1 <= 0) {
-      // no candidates at all
-    } else if (pool_n - 1 <= k) {
-      for (int32_t t = lo; t < hi && got < k; ++t)
-        if (pool_rows[t] != pos_row) on[got++] = pool_rows[t];
-    } else {
-      // rejection sampling with a small linear-probe dedup (k is ~10)
-      int32_t tries = 0;
-      const int32_t max_tries = 64 * k;
-      while (got < k && tries < max_tries) {
-        ++tries;
-        const int32_t cand = pool_rows[lo + rng.below(
-            static_cast<uint32_t>(pool_n))];
-        if (cand == pos_row) continue;
-        bool dup = false;
-        for (int32_t t = 0; t < got; ++t)
-          if (on[t] == cand) { dup = true; break; }
-        if (!dup) on[got++] = cand;
-      }
-    }
-    for (int32_t t = 0; t < k; ++t) onm[t] = t < got ? 0 : 1;
-    for (int32_t t = got; t < k; ++t) on[t] = 0;
+    draw_negatives(rng, pos_row, pool_rows, pool_offsets[key],
+                   pool_offsets[key + 1], k, out_neg_idx + j * k,
+                   out_neg_mask + j * k);
+  }
+}
+
+// Batched negative sampling for fixed positives (the CIR eval-loss path:
+// reference valid_epoch resamples negatives per query every epoch,
+// complementary_item_retrieval_trainer.py:122-170). One pass, no Python
+// per-query loop.
+void negatives_assemble(const int32_t* pos_rows, int64_t n,
+                        const int32_t* key_of_row,
+                        const int32_t* pool_offsets, const int32_t* pool_rows,
+                        int32_t k, uint64_t seed, uint64_t epoch,
+                        int32_t* out_neg_idx, uint8_t* out_neg_mask) {
+  for (int64_t j = 0; j < n; ++j) {
+    SplitMix64 rng(mix(seed ^ 0xE7A1ull, static_cast<uint64_t>(j), epoch));
+    const int32_t pos_row = pos_rows[j];
+    const int32_t key = key_of_row[pos_row];
+    draw_negatives(rng, pos_row, pool_rows, pool_offsets[key],
+                   pool_offsets[key + 1], k, out_neg_idx + j * k,
+                   out_neg_mask + j * k);
   }
 }
 

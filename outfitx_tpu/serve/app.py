@@ -22,7 +22,8 @@ from typing import Optional
 _HTML = """<!doctype html>
 <html><head><title>OutfitX-TPU demo</title>
 <style>body{font-family:sans-serif;max-width:720px;margin:2em auto}
-textarea{width:100%%}pre{background:#f4f4f4;padding:1em}</style></head>
+textarea{width:100%}pre{background:#f4f4f4;padding:1em}
+#imgs img{margin:2px;border:1px solid #ccc}</style></head>
 <body>
 <h1>OutfitX-TPU demo</h1>
 <p>Tasks: compatibility score (CP), complementary-item retrieval (CIR),
@@ -34,10 +35,19 @@ fill-in-the-blank (FITB). Enter item ids comma-separated.
 <button onclick="cir()">retrieve top-10</button>
 <h3>FITB</h3>candidates: <input id="cands" size="40">
 <button onclick="fitb()">pick</button>
-<h3>Result</h3><pre id="out"></pre>
+<h3>Result</h3><div id="imgs"></div><pre id="out"></pre>
 <script>
-const out = (x) => document.getElementById('out').textContent =
-  JSON.stringify(x, null, 2);
+const out = (x) => {
+  document.getElementById('out').textContent = JSON.stringify(x, null, 2);
+  const div = document.getElementById('imgs'); div.innerHTML = '';
+  for (const it of (x.items || []))
+    if (it.image_url) {
+      const img = document.createElement('img');
+      img.src = it.image_url; img.width = 96; img.title =
+        `#${it.item_id} ${it.description} (${it.score.toFixed(3)})`;
+      div.appendChild(img);
+    }
+};
 const ids = () => document.getElementById('outfit').value
   .split(',').map(s => parseInt(s.trim())).filter(Number.isFinite);
 async function post(path, body) {
@@ -95,6 +105,25 @@ def make_handler(engine):
                     return self._send(404, {"error": str(e.args[0])})
             if self.path.startswith("/api/health"):
                 return self._send(200, {"ok": True, "mock": engine.mock})
+            if self.path.startswith("/images/"):
+                # item images, reference demo renders these inline
+                # (app.py:255-387); id is int-parsed so no path traversal
+                name = self.path[len("/images/") :].split("?")[0]
+                try:
+                    item_id = int(name.removesuffix(".jpg"))
+                except ValueError:
+                    return self._send(400, {"error": "bad image name"})
+                p = engine.image_path(item_id)
+                if p is None:
+                    return self._send(404, {"error": "no image"})
+                body = p.read_bytes()
+                self.send_response(200)
+                self.send_header("Content-Type", "image/jpeg")
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Cache-Control", "max-age=3600")
+                self.end_headers()
+                self.wfile.write(body)
+                return None
             return self._send(404, {"error": "not found"})
 
         def do_POST(self):
@@ -146,6 +175,7 @@ def build_engine(
     model_cfg=None,
     dataset_dir: str = "datasets/polyvore",
     checkpoint_dir: str = "checkpoints",
+    quantized: bool = False,
 ):
     """Engine wiring (reference app.py loads CP + CIR checkpoints and the
     embedding catalog at module import, :51-116)."""
@@ -208,13 +238,19 @@ def build_engine(
                     cp_params = payload["params"]
                 else:
                     cir_params = payload["params"]
+    import pathlib
+
+    images_dir = pathlib.Path(dataset_dir) / "images"
     return ServingEngine(
         model_cfg=model_cfg,
         catalog=catalog,
         cp_params=cp_params,
         cir_params=cir_params,
-        pools=pools,
+        # int8 whole-catalog retrieval replaces the per-category pools
+        pools=None if quantized else pools,
         mock=mock,
+        quantized=quantized,
+        images_dir=str(images_dir) if images_dir.is_dir() else None,
     )
 
 

@@ -23,7 +23,7 @@ from outfitx_tpu.data.catalog import Catalog
 from outfitx_tpu.data.sampler import CandidatePools
 from outfitx_tpu.data.splits import _pad_outfits
 from outfitx_tpu.models import OutfitXModel
-from outfitx_tpu.ops.retrieval import fitb_pick, retrieve
+from outfitx_tpu.ops.retrieval import fitb_pick, retrieve, retrieve_chunked
 
 
 class UnknownItemError(KeyError):
@@ -39,6 +39,12 @@ class ServingEngine:
     pools: Optional[CandidatePools] = None
     mock: bool = False
     quantized: bool = False  # int8 catalog for whole-catalog retrieval
+    # Above this catalog size, whole-catalog retrieval streams the pool in
+    # chunks (lax.scan running top-k) instead of materialising (Q, N).
+    chunk_threshold: int = 262_144
+    # Directory holding {item_id}.jpg files (reference demo renders item
+    # images, app.py:255-387); None disables image URLs.
+    images_dir: Optional[str] = None
 
     warmup: bool = True
 
@@ -72,6 +78,21 @@ class ServingEngine:
         if row is None:
             raise UnknownItemError(f"unknown item_id {item_id}")
         return row
+
+    def _retrieve_catalog(self, queries, k: int):
+        """Whole-catalog top-k, routed by scale: int8 when quantized,
+        chunk-streamed when the catalog is too large for a dense (Q, N)
+        distance matrix, dense single-matmul otherwise."""
+        if self._qcat is not None:
+            from outfitx_tpu.ops.quantization import retrieve_quantized
+
+            return retrieve_quantized(queries, self._qcat, k=k)
+        n = self.catalog.n_items
+        if n > self.chunk_threshold:
+            return retrieve_chunked(
+                queries, self.catalog_dev[:n], k, chunk_size=self.chunk_threshold
+            )
+        return retrieve(queries, self.catalog_dev[:n], k=k)
 
     # ------------------------------------------------------------ tasks --
     def _pad(self, item_ids: List[int]):
@@ -115,14 +136,7 @@ class ServingEngine:
         )
         if pool_rows is None:  # whole-catalog retrieval
             y = self._cir_query(item_ids, target_item_id)
-            if self._qcat is not None:
-                from outfitx_tpu.ops.quantization import retrieve_quantized
-
-                d2, idx = retrieve_quantized(y, self._qcat, k=10)
-            else:
-                d2, idx = retrieve(
-                    y, self.catalog_dev[: self.catalog.n_items], k=10
-                )
+            d2, idx = self._retrieve_catalog(y, k=10)
             pool_rows = np.arange(self.catalog.n_items, dtype=np.int32)
         else:
             y = self._cir_query(item_ids, target_item_id)
@@ -151,9 +165,20 @@ class ServingEngine:
         return int(np.asarray(fitb_pick(y, cands))[0])
 
     # ------------------------------------------------------------ util --
+    def image_path(self, item_id: int):
+        """Filesystem path of the item's jpg, or None (unknown id, no
+        images_dir, or file absent)."""
+        if self.images_dir is None:
+            return None
+        import pathlib
+
+        p = pathlib.Path(self.images_dir) / f"{int(item_id)}.jpg"
+        return p if p.is_file() else None
+
     def _item_info(self, row: int, score: float) -> Dict:
-        return {
-            "item_id": int(self.catalog.item_ids[row]),
+        item_id = int(self.catalog.item_ids[row])
+        info = {
+            "item_id": item_id,
             "score": score,
             "category_id": int(self.catalog.category_id[row]),
             "description": (
@@ -162,20 +187,16 @@ class ServingEngine:
                 else ""
             ),
         }
+        if self.image_path(item_id) is not None:
+            info["image_url"] = f"/images/{item_id}.jpg"
+        return info
 
     def similar_items(self, item_id: int, k: int = 10) -> List[Dict]:
         """Nearest catalog neighbours of an item by embedding L2 (serving
         convenience beyond the reference demo)."""
         row = self.lookup_row(item_id)
         q = self.catalog_dev[row][None, :]
-        if self._qcat is not None:
-            from outfitx_tpu.ops.quantization import retrieve_quantized
-
-            d2, idx = retrieve_quantized(q, self._qcat, k=k + 1)
-        else:
-            d2, idx = retrieve(
-                q, self.catalog_dev[: self.catalog.n_items], k=k + 1
-            )
+        d2, idx = self._retrieve_catalog(q, k=k + 1)
         out = []
         for i, dist in zip(np.asarray(idx)[0], np.asarray(d2)[0]):
             if int(i) == row:

@@ -45,6 +45,7 @@ class CheckpointManager:
         epoch: int = 0,
         metrics: Optional[Dict[str, float]] = None,
         config: Any = None,
+        best: Optional[Dict[str, float]] = None,
         overwrite: bool = True,
     ) -> pathlib.Path:
         path = self.path(tag)
@@ -57,6 +58,10 @@ class CheckpointManager:
             "epoch": int(epoch),
             "metrics": {k: float(v) for k, v in (metrics or {}).items()},
         }
+        if best:
+            # Best-so-far values per tracked metric, so a resumed run
+            # cannot overwrite a better best_* checkpoint with a worse one.
+            meta["best"] = {k: float(v) for k, v in best.items()}
         if config is not None and dataclasses.is_dataclass(config):
             meta["config"] = dataclasses.asdict(config)
         with open(path / "meta.json", "w") as f:

@@ -24,6 +24,7 @@ from outfitx_tpu.data.sampler import (
     cir_eval_queries,
     cir_train_batches,
     eval_batches,
+    sample_negatives_batch,
 )
 from outfitx_tpu.data.splits import OutfitSplit
 from outfitx_tpu.evalm.retrieval_eval import recall_over_pools
@@ -103,7 +104,6 @@ class CIRTrainer(Trainer):
                 self._catalog, self.cfg.dataset_dir, self.cfg.polyvore_type,
                 eval_mode, self.model_cfg.max_outfit_len,
             )
-            self.load_optimizer()
         self.catalog_dev = jnp.asarray(self._catalog.embeddings)
         self._samplers = {
             "easy": NegativeSampler(self._catalog, "easy"),
@@ -197,15 +197,14 @@ class CIRTrainer(Trainer):
         """Ranking loss on eval queries with freshly sampled negatives
         (mirrors reference valid_epoch :122-170)."""
         q = self._eval_queries
-        n = len(q["pos_idx"])
         mode = self._mode_for_epoch(epoch)
-        sampler = self._samplers[mode]
-        rng = np.random.default_rng([self.cfg.seed, epoch, 9])
-        k = self.cfg.n_negatives
-        neg_idx = np.zeros((n, k), dtype=np.int32)
-        neg_mask = np.ones((n, k), dtype=bool)
-        for i in range(n):
-            neg_idx[i], neg_mask[i] = sampler.sample(int(q["pos_idx"][i]), k, rng)
+        neg_idx, neg_mask = sample_negatives_batch(
+            self._samplers[mode],
+            q["pos_idx"],
+            k=self.cfg.n_negatives,
+            seed=self.cfg.seed,
+            epoch=epoch,
+        )
         y_hats = self._predict_targets()
         pos = self._catalog.embeddings[q["pos_idx"]]
         negs = self._catalog.embeddings[neg_idx]

@@ -97,8 +97,6 @@ class CPTrainer(Trainer):
                 self._catalog, self.cfg.dataset_dir, self.cfg.polyvore_type,
                 eval_mode, self.model_cfg.max_outfit_len,
             )
-            # data loaded before the optimizer needs len(); re-derive schedule
-            self.load_optimizer()
         self.catalog_dev = jnp.asarray(self._catalog.embeddings)
         self.log(
             f"catalog: {self._catalog.n_items} items x {self._catalog.d_embed}d "

@@ -102,8 +102,9 @@ class Trainer(abc.ABC):
         self.setup_mesh()
         self.ckpt = CheckpointManager(self.cfg.checkpoint_dir, self.model_name)
         self.load_model()
-        self.load_optimizer()
+        # Data before optimizer: the OneCycle horizon needs len(train_split).
         self.setup_data()
+        self.load_optimizer()
         self.hook_after_setup()
 
     def setup_logger(self) -> None:
@@ -205,6 +206,7 @@ class Trainer(abc.ABC):
                     epoch=epoch,
                     metrics=metrics,
                     config=self.cfg,
+                    best=self.best.best,
                 )
                 self.log(f"saved best_{name} ({value:.5f}) at epoch {epoch}")
 
@@ -226,6 +228,11 @@ class Trainer(abc.ABC):
                 step=jnp.asarray(payload["meta"].get("step", 0), jnp.int32),
             )
         self.epoch = int(payload["meta"].get("epoch", -1)) + 1
+        # Restore best-so-far metric values so the first post-resume eval
+        # cannot clobber a better best_* checkpoint with a worse model.
+        for name, value in payload["meta"].get("best", {}).items():
+            if name in self.best.mode:
+                self.best.best[name] = float(value)
         self.log(f"resumed from {tag_or_path} at epoch {self.epoch}")
 
     # ---------------------------------------------------------- context --
@@ -245,6 +252,7 @@ class Trainer(abc.ABC):
                         step=int(self.state.step),
                         epoch=self.epoch,
                         config=self.cfg,
+                        best=self.best.best,
                     )
                     self.log("saved final checkpoint")
         finally:

@@ -267,7 +267,6 @@ class OriginalCPTrainer(Trainer):
                 tokenizer=tokenizer,
                 text_len=min(16, self.encoder.text.cfg.max_len),
             )
-        self.load_optimizer()
 
     # ------------------------------------------------------------ train --
     def _batches(self, split, epoch: int) -> Iterator[Dict[str, np.ndarray]]:

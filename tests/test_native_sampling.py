@@ -76,6 +76,37 @@ class TestNativeAssembler:
             for x, z in zip(a, c)
         )
 
+    def test_eval_queries_native_matches_python_semantics(self, synth):
+        from outfitx_tpu.data.sampler import cir_eval_queries
+
+        cat = synth.catalog
+        nat = cir_eval_queries(
+            synth.cir_valid, cat, seed=7, max_len=8, impl="native"
+        )
+        py = cir_eval_queries(
+            synth.cir_valid, cat, seed=7, max_len=8, impl="python"
+        )
+        for q in (nat, py):
+            n = len(q["pos_idx"])
+            assert q["item_idx"].shape == (n, 8)
+            # positive excluded from its own partial outfit, pads correct
+            for i in range(n):
+                real = q["item_idx"][i][~q["mask"][i]]
+                assert q["pos_idx"][i] not in real
+                assert (q["item_idx"][i][q["mask"][i]] == cat.pad_row).all()
+            np.testing.assert_array_equal(
+                q["pos_category"], cat.category_id[q["pos_idx"]]
+            )
+        # same outfits -> same query lengths regardless of impl
+        np.testing.assert_array_equal(
+            (~nat["mask"]).sum(1), (~py["mask"]).sum(1)
+        )
+        # determinism per impl
+        nat2 = cir_eval_queries(
+            synth.cir_valid, cat, seed=7, max_len=8, impl="native"
+        )
+        np.testing.assert_array_equal(nat["pos_idx"], nat2["pos_idx"])
+
     def test_throughput_beats_python(self, synth):
         # warm both paths (builds pools / the .so)
         _batches(synth, "native")
@@ -90,3 +121,40 @@ class TestNativeAssembler:
         t_python = time.perf_counter() - t0
         # host assembly is the CIR input bottleneck; native must win clearly
         assert t_native < t_python / 2, (t_native, t_python)
+
+
+class TestNegativeBatchSampler:
+    """Batched eval-loss negatives: both impls obey the sampling contract."""
+
+    @pytest.mark.parametrize("impl", ["native", "numpy"])
+    def test_contract(self, synth, impl):
+        from outfitx_tpu.data.sampler import (
+            NegativeSampler,
+            sample_negatives_batch,
+        )
+
+        cat = synth.catalog
+        sampler = NegativeSampler(cat, "easy")
+        rng = np.random.default_rng(3)
+        pos = rng.integers(0, cat.n_items, 200).astype(np.int32)
+        neg, negm = sample_negatives_batch(
+            sampler, pos, k=5, seed=7, epoch=2, impl=impl
+        )
+        assert neg.shape == (200, 5) and negm.shape == (200, 5)
+        for r in range(200):
+            valid = neg[r][~negm[r]]
+            assert pos[r] not in valid
+            assert len(set(valid.tolist())) == len(valid)  # distinct
+            assert (
+                cat.semantic_category[valid]
+                == cat.semantic_category[pos[r]]
+            ).all()
+        # deterministic in (seed, epoch); varies across epochs
+        neg2, _ = sample_negatives_batch(
+            sampler, pos, k=5, seed=7, epoch=2, impl=impl
+        )
+        np.testing.assert_array_equal(neg, neg2)
+        neg3, _ = sample_negatives_batch(
+            sampler, pos, k=5, seed=7, epoch=3, impl=impl
+        )
+        assert not np.array_equal(neg, neg3)

@@ -68,6 +68,124 @@ class TestEngine:
         assert len(eng.cir_top10(eng.sample_outfit(3), eng.sample_outfit(1)[0])) == 10
 
 
+class TestRetrievalRouting:
+    """The whole-catalog retriever routes by scale: dense -> quantized ->
+    chunk-streamed; all three must agree on the same neighbours."""
+
+    def _engine(self, model_cfg, **kw):
+        import jax
+
+        from outfitx_tpu.models import OutfitXModel
+
+        data = make_synthetic(n_items=300, d_embed=32, n_outfits=64, seed=5)
+        params = OutfitXModel(model_cfg).init(jax.random.PRNGKey(0))
+        return ServingEngine(
+            model_cfg=model_cfg,
+            catalog=data.catalog,
+            cp_params=params,
+            cir_params=params,
+            pools=None,
+            warmup=False,
+            **kw,
+        )
+
+    def test_dense_vs_chunked_agree(self, model_cfg):
+        import numpy as np
+
+        dense = self._engine(model_cfg)
+        # chunk_threshold below n_items forces the lax.scan streaming route
+        chunked = self._engine(model_cfg, chunk_threshold=128)
+        item = dense.sample_outfit(1)[0]
+        a = dense.similar_items(item, k=5)
+        b = chunked.similar_items(item, k=5)
+        assert [x["item_id"] for x in a] == [x["item_id"] for x in b]
+        np.testing.assert_allclose(
+            [x["score"] for x in a], [x["score"] for x in b], rtol=1e-5
+        )
+
+    def test_quantized_route(self, model_cfg):
+        quant = self._engine(model_cfg, quantized=True)
+        assert quant._qcat is not None
+        items = quant.similar_items(quant.sample_outfit(1)[0], k=5)
+        assert len(items) == 5
+        # int8 is approximate; top-10 must still come back sorted
+        outfit = quant.sample_outfit(3)
+        out = quant.cir_top10(outfit, quant.sample_outfit(1)[0])
+        scores = [i["score"] for i in out]
+        assert scores == sorted(scores)
+
+    def test_cir_chunked_route(self, model_cfg):
+        dense = self._engine(model_cfg)
+        chunked = self._engine(model_cfg, chunk_threshold=100)
+        outfit = dense.sample_outfit(3)
+        target = dense.sample_outfit(1)[0]
+        a = dense.cir_top10(outfit, target)
+        b = chunked.cir_top10(outfit, target)
+        assert [x["item_id"] for x in a] == [x["item_id"] for x in b]
+
+
+class TestImages:
+    @pytest.fixture(scope="class")
+    def image_engine(self, model_cfg, tmp_path_factory):
+        data = make_synthetic(n_items=50, d_embed=32, n_outfits=16, seed=7)
+        img_dir = tmp_path_factory.mktemp("images")
+        # one-pixel JPEG for the first two catalog items
+        import io
+
+        from PIL import Image
+
+        for item_id in data.catalog.item_ids[:2]:
+            buf = io.BytesIO()
+            Image.new("RGB", (4, 4), (200, 30, 90)).save(buf, format="JPEG")
+            (img_dir / f"{int(item_id)}.jpg").write_bytes(buf.getvalue())
+        return ServingEngine(
+            model_cfg=model_cfg,
+            catalog=data.catalog,
+            mock=True,
+            images_dir=str(img_dir),
+        )
+
+    def test_item_info_has_image_url(self, image_engine):
+        info = image_engine._item_info(0, 0.0)
+        assert info["image_url"] == f"/images/{info['item_id']}.jpg"
+        info_no_img = image_engine._item_info(10, 0.0)
+        assert "image_url" not in info_no_img
+
+    def test_http_serves_image_bytes(self, image_engine):
+        import threading
+        import urllib.request
+        from http.server import ThreadingHTTPServer
+
+        from outfitx_tpu.serve.app import make_handler
+
+        httpd = ThreadingHTTPServer(
+            ("127.0.0.1", 0), make_handler(image_engine)
+        )
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            item_id = int(image_engine.catalog.item_ids[0])
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/images/{item_id}.jpg"
+            ) as r:
+                body = r.read()
+                assert r.headers["Content-Type"] == "image/jpeg"
+                assert body[:2] == b"\xff\xd8"  # JPEG magic
+            # unknown id -> 404; traversal attempt -> 400
+            for path, code in (
+                ("/images/999999.jpg", 404),
+                ("/images/..%2fsecret.jpg", 400),
+            ):
+                try:
+                    urllib.request.urlopen(f"http://127.0.0.1:{port}{path}")
+                    assert False, "expected HTTPError"
+                except urllib.error.HTTPError as e:
+                    assert e.code == code
+        finally:
+            httpd.shutdown()
+
+
 class TestHTTP:
     @pytest.fixture(scope="class")
     def server(self, engine):
