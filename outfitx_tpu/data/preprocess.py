@@ -33,7 +33,14 @@ STATS = {
 
 def load_image_uint8(path_or_img, size: int) -> np.ndarray:
     """Host side: decode + bicubic resize (short side) + center crop ->
-    (3, size, size) uint8, channel-first."""
+    (3, size, size) uint8, channel-first.
+
+    Sizing matches HF image processors exactly (shortest edge -> size, long
+    edge truncated, floor-centered crop — transformers
+    image_transforms.get_resize_output_image_size / center_crop), which is
+    what the reference's CLIP/SigLIP encoders preprocess with
+    (clip_image_encoder.py, slip_image_encoder.py). torchvision's
+    center-crop rounds instead of flooring (±1 px on odd margins)."""
     from PIL import Image
 
     img = (
@@ -43,8 +50,10 @@ def load_image_uint8(path_or_img, size: int) -> np.ndarray:
     )
     img = img.convert("RGB")
     w, h = img.size
-    scale = size / min(w, h)
-    nw, nh = round(w * scale), round(h * scale)
+    if w <= h:
+        nw, nh = size, int(size * h / w)
+    else:
+        nw, nh = int(size * w / h), size
     img = img.resize((nw, nh), Image.BICUBIC)
     left = (nw - size) // 2
     top = (nh - size) // 2

