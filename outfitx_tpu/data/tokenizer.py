@@ -11,9 +11,12 @@ pretrained weights and is only for synthetic/smoke paths.
 from __future__ import annotations
 
 import hashlib
+import logging
 from typing import List, Optional, Tuple
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 class HashTokenizer:
@@ -73,6 +76,12 @@ def load_tokenizer(model_name_or_path: Optional[str], vocab_size: int = 49408):
                 )
 
             return call
-        except Exception:
-            pass
+        except Exception as e:
+            logger.warning(
+                "tokenizer '%s' not available locally (%s); falling back to "
+                "HashTokenizer — NOT vocabulary-compatible with pretrained "
+                "weights, use only for synthetic/smoke runs",
+                model_name_or_path,
+                e,
+            )
     return HashTokenizer(vocab_size=vocab_size)

@@ -30,6 +30,28 @@ from outfitx_tpu.core.mesh import (  # noqa: F401
 )
 
 
+def gather_global(tree):
+    """Host-side value of (a pytree of) possibly multi-process-sharded arrays.
+
+    Single-process (the common case, incl. the 8-fake-device test mesh):
+    plain ``jax.device_get`` — the one process addresses every shard.
+    Multi-process SPMD (``jax.distributed.initialize`` ran): each host
+    addresses only its local shards, so a bare ``device_get`` of a
+    globally-sharded metric array would fail or silently drop remote data;
+    ``multihost_utils.process_allgather(tiled=True)`` reassembles the full
+    global value on every host. This replaces the reference's explicit
+    ``dist.all_gather`` of prediction tensors for epoch metrics
+    (compatibility_prediction_trainer.py:384-399).
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.process_allgather(tree, tiled=True)
+
+
 def maybe_initialize_distributed() -> bool:
     """Multi-host SPMD bring-up: `jax.distributed.initialize()` when the
     standard coordinator env vars are present (the moral equivalent of the

@@ -30,6 +30,7 @@ from outfitx_tpu.data.splits import OutfitSplit
 from outfitx_tpu.evalm.retrieval_eval import recall_over_pools
 from outfitx_tpu.losses import set_wise_ranking_loss
 from outfitx_tpu.models import OutfitXModel
+from outfitx_tpu.parallel import gather_global
 from outfitx_tpu.train.harness import Trainer
 from outfitx_tpu.train.optim import make_optimizer
 from outfitx_tpu.train.state import TrainState
@@ -160,7 +161,7 @@ class CIRTrainer(Trainer):
         if not losses:
             return {}
         return {
-            "loss": float(np.mean(jax.device_get(losses))),
+            "loss": float(np.mean(gather_global(losses))),
             "neg_mode": 1.0 if mode == "hard" else 0.0,
         }
 
@@ -188,7 +189,7 @@ class CIRTrainer(Trainer):
                 batch["mask"],
                 batch["pos_idx"],
             )
-            outs.append(np.asarray(jax.device_get(y)))
+            outs.append(np.asarray(gather_global(y)))
             valids.append(batch["valid"])
         valid = np.concatenate(valids)
         return np.concatenate(outs)[valid]

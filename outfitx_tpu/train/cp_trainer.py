@@ -24,6 +24,7 @@ from outfitx_tpu.data.splits import CPSplit
 from outfitx_tpu.evalm import binary_classification_metrics
 from outfitx_tpu.losses import focal_loss
 from outfitx_tpu.models import OutfitXModel
+from outfitx_tpu.parallel import gather_global
 from outfitx_tpu.train.harness import Trainer
 from outfitx_tpu.train.optim import make_optimizer
 from outfitx_tpu.train.state import TrainState
@@ -130,13 +131,15 @@ class CPTrainer(Trainer):
                 )
         if not losses:
             return {}
-        # One host sync at epoch end (losses/scores pulled together).
-        losses = [float(x) for x in jax.device_get(losses)]
+        # One host sync at epoch end (losses/scores pulled together);
+        # multi-host-safe: gather_global reassembles globally-sharded
+        # outputs on every process (reference dist.all_gather :384-399).
+        losses = [float(x) for x in gather_global(losses)]
         scores = np.concatenate(
-            [np.asarray(s).ravel() for s in jax.device_get(all_scores)]
+            [np.asarray(s).ravel() for s in gather_global(all_scores)]
         )
         labels = np.concatenate(
-            [np.asarray(l).ravel() for l in jax.device_get(all_labels)]
+            [np.asarray(l).ravel() for l in gather_global(all_labels)]
         )
         metrics = binary_classification_metrics(scores, labels, from_logits=True)
         metrics["loss"] = float(np.mean(losses))
@@ -166,7 +169,7 @@ class CPTrainer(Trainer):
                     gamma=self.cfg.focal_gamma,
                 )
             )
-            scores_all.append(np.asarray(s))
+            scores_all.append(np.asarray(gather_global(s)))
             labels_all.append(batch["label"])
             valid_all.append(batch["valid"])
         if not scores_all:
@@ -175,7 +178,7 @@ class CPTrainer(Trainer):
         scores = np.concatenate(scores_all)[valid]
         labels = np.concatenate(labels_all)[valid]
         metrics = binary_classification_metrics(scores, labels, from_logits=True)
-        metrics["loss"] = float(np.mean(jax.device_get(losses)))
+        metrics["loss"] = float(np.mean(gather_global(losses)))
         return metrics
 
     def valid_epoch(self, epoch: int) -> Dict[str, float]:

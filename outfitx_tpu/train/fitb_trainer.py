@@ -22,6 +22,7 @@ from outfitx_tpu.data.sampler import eval_batches
 from outfitx_tpu.data.splits import FITBSplit
 from outfitx_tpu.evalm import fitb_accuracy
 from outfitx_tpu.models import OutfitXModel
+from outfitx_tpu.parallel import gather_global
 from outfitx_tpu.train.harness import Trainer
 from outfitx_tpu.train.steps import make_fitb_eval_step
 
@@ -108,7 +109,7 @@ class FITBTrainer(Trainer):
                 batch["cand_rows"],
                 batch["answer_rows"],
             )
-            picks.append(np.asarray(jax.device_get(p)))
+            picks.append(np.asarray(gather_global(p)))
             valids.append(batch["valid"])
             answers.append(batch["answer_idx"])
         valid = np.concatenate(valids)

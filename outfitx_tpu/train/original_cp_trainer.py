@@ -25,6 +25,7 @@ from outfitx_tpu.evalm import binary_classification_metrics
 from outfitx_tpu.losses import focal_loss
 from outfitx_tpu.models import OutfitXModel
 from outfitx_tpu.models.item_encoder import ItemEncoderModel
+from outfitx_tpu.parallel import gather_global
 from outfitx_tpu.train.harness import Trainer
 from outfitx_tpu.train.optim import make_optimizer
 from outfitx_tpu.train.state import TrainState
@@ -301,13 +302,13 @@ class OriginalCPTrainer(Trainer):
         if not losses:
             return {}
         scores = np.concatenate(
-            [np.asarray(s).ravel() for s in jax.device_get(scores_all)]
+            [np.asarray(s).ravel() for s in gather_global(scores_all)]
         )
         labels = np.concatenate(
-            [np.asarray(x).ravel() for x in jax.device_get(labels_all)]
+            [np.asarray(x).ravel() for x in gather_global(labels_all)]
         )
         m = binary_classification_metrics(scores, labels, from_logits=True)
-        m["loss"] = float(np.mean(jax.device_get(losses)))
+        m["loss"] = float(np.mean(gather_global(losses)))
         return m
 
     def valid_epoch(self, epoch: int) -> Dict[str, float]:
@@ -334,7 +335,7 @@ class OriginalCPTrainer(Trainer):
                 "attn": raw["attn"].reshape(bsz, l, t),
                 "mask": eb["mask"],
             }
-            scores_all.append(np.asarray(jax.device_get(
+            scores_all.append(np.asarray(gather_global(
                 self.eval_step(self.state.params, self.frozen, batch)
             )))
             labels_all.append(eb["label"])
