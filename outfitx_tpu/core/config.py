@@ -103,6 +103,15 @@ class OutfitXConfig:
     # instead of saving them — required for the reference's batch-3072
     # training envelope to fit in 16 GB HBM.
     remat: bool = False
+    # Rematerialization policy when remat=True:
+    #   'full'  — save only layer inputs, recompute everything (min memory);
+    #   'masks' — additionally save the bool dropout masks so they are not
+    #     regenerated in the backward (~266 MB/layer at B=3072; measured
+    #     faster than 'full' on v5e — see BENCHMARKS.md);
+    #   'dots'  — jax.checkpoint_policies.dots_saveable: save matmul outputs
+    #     too (measured SLOWER than 'full' at the flagship shape: the extra
+    #     HBM writes cost more than the recompute they avoid).
+    remat_policy: str = "full"
 
     @property
     def d_embed(self) -> int:

@@ -14,6 +14,8 @@ Inputs are (B, H, L, Dh) with a (B, L) bool key-padding mask.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -77,26 +79,34 @@ def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
     o_ref[:, 0] = out.astype(o_ref.dtype)
 
 
-def _mha_pallas_impl(q, k, v, pad_mask):
-    b, h, l, dh = q.shape
+def _tile_cap(l: int) -> int:
     # The per-program batched dot_general unrolls over the batch tile; keep
     # tile_b * l bounded or the Mosaic compiler blows up (empirically:
     # (64, l=50) crashes, (8, l=50) and (64, l=17) compile fine).
     if l <= 32:
-        cap = 64
-    elif l <= 128:
-        cap = 8
-    else:
-        cap = 4
-    tile_b = max(1, min(cap, b))
+        return 64
+    if l <= 128:
+        return 8
+    return 4
+
+
+def _pad_batch(q, k, v, pad_mask, tile_b):
+    """Pad the batch to a tile multiple. Padded rows: every key masked
+    except key 0 (uniform attention over key 0 — harmless, sliced away)."""
+    b, _, l, _ = q.shape
     pad_b = round_up(b, tile_b)
     if pad_b != b:
         pad = ((0, pad_b - b), (0, 0), (0, 0), (0, 0))
         q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
-        # Padded batch rows: mark every key masked except key 0 (uniform
-        # attention over key 0 — harmless, sliced away below).
         mrow = jnp.ones((pad_b - b, l), dtype=pad_mask.dtype).at[:, 0].set(False)
         pad_mask = jnp.concatenate([pad_mask, mrow], axis=0)
+    return q, k, v, pad_mask, pad_b
+
+
+def _mha_pallas_impl(q, k, v, pad_mask):
+    b, h, l, dh = q.shape
+    tile_b = max(1, min(_tile_cap(l), b))
+    q, k, v, pad_mask, pad_b = _pad_batch(q, k, v, pad_mask, tile_b)
     grid = (cdiv(pad_b, tile_b), h)
     qkv_spec = pl.BlockSpec(
         (tile_b, 1, l, dh), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
@@ -119,6 +129,81 @@ def _mha_pallas_impl(q, k, v, pad_mask):
     return out[:b]
 
 
+def _mha_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, dq_ref, dk_ref, dv_ref):
+    # One fused backward per (batch-tile, head): recompute the tiny (L, L)
+    # score/prob matrices in VMEM (cheaper than spilling them to HBM in the
+    # forward), then the five small matmuls of the attention VJP. Matches the
+    # forward's precision contract: matmul operands bf16, softmax/accum f32.
+    q = q_ref[:, 0]  # (TB, L, Dh)
+    k = k_ref[:, 0]
+    v = v_ref[:, 0]
+    g = g_ref[:, 0]
+    dh = q.shape[-1]
+    scale = 1.0 / (dh**0.5)
+
+    def bdot(a, b, dims):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(dims, ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    scores = bdot(q, k, ((2,), (2,))) * scale  # (TB, L, L) f32
+    mask = mask_ref[:][:, None, :]  # (TB, 1, L) key mask
+    scores = jnp.where(mask, _NEG, scores)
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # (TB, L, L) f32
+    pb = p.astype(v.dtype)
+
+    # dv = p^T g  — contract over query dim
+    dv = bdot(pb, g, ((1,), (1,)))  # (TB, L_k, Dh)
+    # dp = g v^T
+    dp = bdot(g, v, ((2,), (2,)))  # (TB, L_q, L_k) f32
+    # softmax vjp (masked entries have p == 0 so ds == 0 there)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dsb = (ds * scale).astype(q.dtype)
+    dq = bdot(dsb, k, ((2,), (1,)))  # (TB, L_q, Dh)
+    dk = bdot(dsb, q, ((1,), (1,)))  # (TB, L_k, Dh)
+
+    dq_ref[:, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[:, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[:, 0] = dv.astype(dv_ref.dtype)
+
+
+def _mha_bwd_pallas_impl(q, k, v, pad_mask, g):
+    b, h, l, dh = q.shape
+    # Same tile cap as the forward: despite five in-program matmuls (vs the
+    # forward's two) the full 64-row tile compiles and measures marginally
+    # faster than a halved one at L=17 (override: OUTFITX_MHA_BWD_TILE).
+    cap = int(os.environ.get("OUTFITX_MHA_BWD_TILE", "0")) or _tile_cap(l)
+    tile_b = max(1, min(cap, b))
+    q, k, v, pad_mask, pad_b = _pad_batch(q, k, v, pad_mask, tile_b)
+    if pad_b != b:
+        g = jnp.pad(g, ((0, pad_b - b), (0, 0), (0, 0), (0, 0)))
+    grid = (cdiv(pad_b, tile_b), h)
+    qkv_spec = pl.BlockSpec(
+        (tile_b, 1, l, dh), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    shape = jax.ShapeDtypeStruct((pad_b, h, l, dh), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        _mha_bwd_kernel,
+        grid=grid,
+        in_specs=[
+            qkv_spec,
+            qkv_spec,
+            qkv_spec,
+            pl.BlockSpec(
+                (tile_b, l), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            qkv_spec,
+        ],
+        out_specs=[qkv_spec, qkv_spec, qkv_spec],
+        out_shape=[shape, shape, shape],
+        interpret=use_interpret(),
+    )(q, k, v, pad_mask, g)
+    return dq[:b], dk[:b], dv[:b]
+
+
 @jax.custom_vjp
 def _mha_pallas(q, k, v, pad_mask):
     return _mha_pallas_impl(q, k, v, pad_mask)
@@ -130,8 +215,13 @@ def _mha_fwd(q, k, v, pad_mask):
 
 def _mha_bwd(res, g):
     q, k, v, pad_mask = res
-    # Tiny-L attention: recompute-based backward through the XLA path is
-    # bandwidth-cheap (L<=32) and lets XLA fuse the whole chain.
+    if os.environ.get("OUTFITX_MHA_BWD", "pallas") == "pallas":
+        # Fused single-kernel backward: recomputes the tiny (L, L)
+        # scores/probs in VMEM and emits dq/dk/dv in one pass (measured
+        # faster than the XLA recompute chain at the flagship shape).
+        dq, dk, dv = _mha_bwd_pallas_impl(q, k, v, pad_mask, g)
+        return dq, dk, dv, None
+    # OUTFITX_MHA_BWD=xla: recompute-based backward through the XLA path.
     _, vjp = jax.vjp(lambda q, k, v: _mha_reference(q, k, v, pad_mask), q, k, v)
     dq, dk, dv = vjp(g)
     return dq, dk, dv, None

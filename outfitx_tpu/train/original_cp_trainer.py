@@ -211,7 +211,9 @@ class OriginalCPTrainer(Trainer):
             )
 
         def train_step(state: TrainState, frozen, batch):
-            rng = jax.random.fold_in(state.rng, state.step)
+            from outfitx_tpu.core.rng import fast_dropout_key
+
+            rng = fast_dropout_key(jax.random.fold_in(state.rng, state.step))
             a = batch["label"].shape[0]
 
             def body(carry, xs):

@@ -25,6 +25,7 @@ import optax
 from jax.sharding import PartitionSpec as P
 
 from outfitx_tpu.core.mesh import constrain
+from outfitx_tpu.core.rng import fast_dropout_key
 from outfitx_tpu.losses import focal_loss, set_wise_ranking_loss
 from outfitx_tpu.models import OutfitXModel
 from outfitx_tpu.train.state import TrainState
@@ -68,7 +69,7 @@ def make_cp_train_step(
     """
 
     def step(state: TrainState, catalog, batch):
-        rng = jax.random.fold_in(state.rng, state.step)
+        rng = fast_dropout_key(jax.random.fold_in(state.rng, state.step))
 
         def loss_with_cat(params, mb, mb_rng):
             emb = jnp.take(catalog, mb["item_idx"], axis=0)
@@ -127,7 +128,7 @@ def make_cir_train_step(
     """
 
     def step(state: TrainState, catalog, batch):
-        rng = jax.random.fold_in(state.rng, state.step)
+        rng = fast_dropout_key(jax.random.fold_in(state.rng, state.step))
         d = catalog.shape[-1]
 
         def loss_fn(params, mb, mb_rng):

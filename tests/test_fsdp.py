@@ -35,7 +35,7 @@ def test_fsdp_specs_shard_over_data(pieces):
     from outfitx_tpu.models import OutfitXModel
 
     specs = OutfitXModel(model_cfg).param_partition_specs(fsdp=True)
-    assert specs["layers"]["attn"]["wq"] == P(None, "data", "model")
+    assert specs["layers"]["attn"]["wqkv"] == P(None, "data", None, "model")
     assert specs["layers"]["ffn"]["w2"] == P(None, "model", "data")
 
 
@@ -58,7 +58,7 @@ def test_fsdp_training_learns(pieces, tmp_path):
         valid_split=synth.cp_valid,
     ) as t:
         # params actually sharded over the data axis
-        wq = t.state.params["layers"]["attn"]["wq"]
+        wq = t.state.params["layers"]["attn"]["wqkv"]
         shard_shapes = {s.data.shape for s in wq.addressable_shards}
         full = wq.shape
         assert all(

@@ -116,6 +116,62 @@ class TestMaskedMHA:
         for a, b in zip(grads, ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
 
+    def test_pallas_bwd_kernel_matches_xla_chain(self, rng, monkeypatch):
+        """The fused Pallas backward kernel and the XLA-recompute backward
+        (OUTFITX_MHA_BWD=xla escape hatch) must agree, including through the
+        batch-padding path (b not a multiple of the backward tile)."""
+        q, k, v, mask = self._inputs(rng, b=37, h=2, l=9, dh=16)
+        g = jnp.asarray(
+            np.random.default_rng(1).standard_normal(q.shape), dtype=q.dtype
+        )
+
+        def grads_with(route):
+            monkeypatch.setenv("OUTFITX_MHA_BWD", route)
+            _, vjp = jax.vjp(
+                lambda q, k, v: masked_mha(q, k, v, mask, impl="pallas"),
+                q, k, v,
+            )
+            return vjp(g)
+
+        got = grads_with("pallas")
+        want = grads_with("xla")
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+            )
+
+    def test_masked_key_grads_are_zero(self, rng):
+        q, k, v, mask = self._inputs(rng)
+
+        def loss(q, k, v):
+            return jnp.sum(masked_mha(q, k, v, mask, impl="pallas") ** 2)
+
+        _, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        m = np.asarray(mask)[:, None, :, None]
+        assert np.all(np.asarray(dk)[np.broadcast_to(m, dk.shape)] == 0)
+        assert np.all(np.asarray(dv)[np.broadcast_to(m, dv.shape)] == 0)
+
+    def test_pallas_bwd_bf16(self, rng):
+        q, k, v, mask = self._inputs(rng, b=4, l=7)
+        q, k, v = (t.astype(jnp.bfloat16) for t in (q, k, v))
+
+        def loss(impl):
+            def f(q, k, v):
+                return jnp.sum(
+                    masked_mha(q, k, v, mask, impl=impl).astype(jnp.float32) ** 2
+                )
+            return f
+
+        got = jax.grad(loss("pallas"), argnums=(0, 1, 2))(q, k, v)
+        want = jax.grad(loss("xla"), argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(got, want):
+            assert a.dtype == jnp.bfloat16
+            np.testing.assert_allclose(
+                np.asarray(a, dtype=np.float32),
+                np.asarray(b, dtype=np.float32),
+                atol=0.15, rtol=0.1,
+            )
+
 
 class TestRetrieval:
     def test_pairwise_l2_matches_torch_cdist(self, rng):

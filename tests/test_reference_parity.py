@@ -44,12 +44,13 @@ def export_to_torch(model: OutfitXModel, params) -> nn.Module:
         for i, tl in enumerate(enc.layers):
             lp = jax.tree.map(lambda x: x[i], L)
             a = lp["attn"]
+            # fused (d, 3, d) layout: wqkv[:, j] is the j-th projection
             tl.self_attn.in_proj_weight.copy_(
-                torch.cat([t(a["wq"]).T, t(a["wk"]).T, t(a["wv"]).T], dim=0)
+                torch.cat(
+                    [t(a["wqkv"][:, j]).T for j in range(3)], dim=0
+                )
             )
-            tl.self_attn.in_proj_bias.copy_(
-                torch.cat([t(a["bq"]), t(a["bk"]), t(a["bv"])])
-            )
+            tl.self_attn.in_proj_bias.copy_(t(a["bqkv"]).reshape(-1))
             tl.self_attn.out_proj.weight.copy_(t(a["wo"]).T)
             tl.self_attn.out_proj.bias.copy_(t(a["bo"]))
             tl.linear1.weight.copy_(t(lp["ffn"]["w1"]).T)
