@@ -50,3 +50,38 @@ def enable_fast_prng() -> None:
 def apply_env_flags() -> None:
     if os.environ.get("OUTFITX_FAST_PRNG"):
         enable_fast_prng()
+
+
+def retry_if_backend_down(
+    max_retries: int = 10, sleep_s: float = 60.0
+) -> None:
+    """Re-exec the current script (bounded) when the TPU backend failed to
+    register.
+
+    The axon relay's backend registers at interpreter start and transiently
+    refuses registration for stretches (observed 1-2 h outages); a failed
+    registration cannot be retried in-process, so each retry needs a fresh
+    interpreter. Used by the benchmark entry points; a no-op once
+    `jax.devices()` works.
+    """
+    import sys
+    import time
+
+    import jax
+
+    try:
+        jax.devices()
+        return
+    except RuntimeError as e:
+        attempts = int(os.environ.get("OUTFITX_BENCH_RETRY", "0"))
+        if attempts >= max_retries:
+            raise
+        print(
+            f"# TPU backend unavailable ({e}); retry "
+            f"{attempts + 1}/{max_retries} in {sleep_s:.0f}s",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(sleep_s)
+        os.environ["OUTFITX_BENCH_RETRY"] = str(attempts + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
