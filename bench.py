@@ -24,35 +24,12 @@ import numpy as np
 TORCH_CPU_BASELINE_OUTFITS_PER_SEC = 33.6
 
 
-def _retry_if_backend_down() -> None:
-    """The axon TPU backend registers at interpreter start and transiently
-    fails for stretches (observed 1-2 h outages). A failed registration
-    cannot be retried in-process; re-exec this script (bounded) so each
-    attempt gets a fresh registration."""
-    import os
-    import sys
-    import time
-
-    import jax
-
-    try:
-        jax.devices()
-        return
-    except RuntimeError as e:
-        attempts = int(os.environ.get("OUTFITX_BENCH_RETRY", "0"))
-        if attempts >= 10:
-            raise
-        print(
-            f"# TPU backend unavailable ({e}); retry {attempts + 1}/10 in 60s",
-            file=sys.stderr,
-        )
-        time.sleep(60)
-        os.environ["OUTFITX_BENCH_RETRY"] = str(attempts + 1)
-        os.execv(sys.executable, [sys.executable] + sys.argv)
-
-
 def main() -> None:
-    _retry_if_backend_down()
+    from outfitx_tpu.core.runtime import retry_if_backend_down
+
+    # Bounded re-exec when TPU registration transiently fails (observed
+    # 1-2 h outages) or a PYTHONPATH override shadowed the plugin site dir.
+    retry_if_backend_down()
 
     import jax
     import jax.numpy as jnp

@@ -6,7 +6,7 @@ Prints one JSON line per measurement. Timing protocol (see
 wait for device completion, so loops are serialized by data dependencies and
 synced with a tiny scalar D2H before the clock stops.
 
-Usage: PYTHONPATH=. python bench_encoders.py [--only precompute|ocp|int8]
+Usage: python bench_encoders.py (from the repo root) [--only precompute|ocp|int8]
 """
 
 from __future__ import annotations
@@ -51,8 +51,8 @@ def bench_precompute(
         encoder = ItemEncoderModel(
             model_cfg.item_encoder,
             vision_cfg=VisionTowerConfig(
-                variant="siglip", image_size=32, patch_size=16, d_model=32,
-                n_heads=4, d_mlp=64, n_layers=2, proj_dim=16,
+                variant="siglip", image_size=32, patch_size=16, d_model=16,
+                n_heads=4, d_mlp=64, n_layers=2,
             ),
             text_cfg=TextTowerConfig(
                 variant="siglip", vocab_size=128, max_len=16, d_model=32,
@@ -83,6 +83,102 @@ def bench_precompute(
         ),
         flush=True,
     )
+
+    # Device-core rate: same jitted uint8-normalize+encode program on one
+    # staged batch, iterated with a trailing scalar sync. Separates the
+    # tower throughput from the single-core host staging (synthetic image
+    # generation + tokenization) that bounds the sweep above.
+    import jax
+    import jax.numpy as jnp
+
+    b = next(runner._batches())
+    images = jnp.asarray(b["images"])
+    input_ids = jnp.asarray(b["input_ids"])
+    attn = jnp.asarray(b["attention_mask"])
+    emb = runner._encode(runner.params, images, input_ids, attn)
+    _sync_scalar(emb)
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        emb = runner._encode(runner.params, images, input_ids, attn)
+    _sync_scalar(emb)
+    dt = (time.perf_counter() - t0) / iters
+    print(
+        json.dumps(
+            {
+                "metric": "items_encoded_per_sec_device_core",
+                "value": round(batch / dt, 1),
+                "unit": "items/s",
+                "batch_ms": round(dt * 1000, 1),
+                "towers": "siglip ViT-B/16 + text-B (d=1536 fused)",
+            }
+        ),
+        flush=True,
+    )
+
+
+def bench_tower_parts(batch: int = 2048) -> None:
+    """Bisection of the precompute encode: vision tower alone, text tower
+    alone, normalize+patchify alone — to locate the non-matmul bottleneck
+    (the full encode measured ~1.5 s/batch both in f32 and bf16, so the
+    MXU rate is not the limiter)."""
+    import jax
+    import jax.numpy as jnp
+
+    from outfitx_tpu.core.config import OutfitXConfig
+    from outfitx_tpu.models.item_encoder import ItemEncoderModel
+
+    enc = ItemEncoderModel(OutfitXConfig().item_encoder)
+    params = enc.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(
+        rng.integers(0, 256, (batch, 3, enc.image_size, enc.image_size)),
+        dtype=jnp.uint8,
+    )
+    ids = jnp.asarray(
+        rng.integers(2, 1000, (batch, 64)), dtype=jnp.int32
+    )
+    attn = jnp.ones_like(ids)
+
+    @jax.jit
+    def vision_only(params, imgs):
+        return enc.encode_images(params, imgs)
+
+    @jax.jit
+    def text_only(params, ids, attn):
+        return enc.encode_texts(params, ids, attn)
+
+    @jax.jit
+    def pre_only(imgs):
+        x = enc.normalize_images(imgs)
+        return enc.vision.patchify(
+            x.astype(jnp.dtype(enc.vision.cfg.compute_dtype))
+        )
+
+    for name, fn, args in (
+        ("vision_tower", vision_only, (params, imgs)),
+        ("text_tower", text_only, (params, ids, attn)),
+        ("normalize_patchify", pre_only, (imgs,)),
+    ):
+        out = fn(*args)
+        _sync_scalar(out.astype(jnp.float32))
+        iters = 5
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _sync_scalar(out.astype(jnp.float32))
+        dt = (time.perf_counter() - t0) / iters
+        print(
+            json.dumps(
+                {
+                    "metric": f"encode_part_{name}_ms",
+                    "value": round(dt * 1000, 1),
+                    "batch": batch,
+                    "items_per_sec": round(batch / dt, 1),
+                }
+            ),
+            flush=True,
+        )
 
 
 def bench_original_cp(batch: int = 350, smoke: bool = False) -> None:
@@ -212,29 +308,36 @@ def bench_int8(n: int = 250_000, d: int = 1536, q: int = 1024, k: int = 10) -> N
     qcat = quantize_catalog(catalog)
     _sync_scalar(qcat.values.astype(jnp.float32))
 
+    # Catalogs are jit ARGUMENTS, not closure captures: a captured array is
+    # baked into the program as a constant, and at 250k x 1536 the compile
+    # payload blows past the remote compile service's request limit
+    # (observed HTTP 413).
     @jax.jit
-    def chained_q(queries):
+    def chained_q(queries, qcat):
         d2, idx = retrieve_quantized(queries, qcat, k)
         return d2, idx, queries + (d2[:, :1] * 1e-12)
 
     @jax.jit
-    def chained_f(queries):
+    def chained_f(queries, catalog):
         d2, idx = retrieve(queries, catalog, k)
         return d2, idx, queries + (d2[:, :1] * 1e-12)
 
     results = {}
-    for name, fn in (("int8", chained_q), ("f32", chained_f)):
-        d2, idx, qq = fn(queries)
+    for name, fn, cat in (
+        ("int8", chained_q, qcat),
+        ("f32", chained_f, catalog),
+    ):
+        d2, idx, qq = fn(queries, cat)
         _sync_scalar(d2)
         iters = 20
         t0 = time.perf_counter()
         for _ in range(iters):
-            d2, idx, qq = fn(qq)
+            d2, idx, qq = fn(qq, cat)
         _sync_scalar(d2)
         results[name] = (time.perf_counter() - t0) / iters
     agree = None
-    di, ii, _ = chained_q(queries)
-    df, if_, _ = chained_f(queries)
+    di, ii, _ = chained_q(queries, qcat)
+    df, if_, _ = chained_f(queries, catalog)
     ii, if_ = np.asarray(ii), np.asarray(if_)
     agree = float(
         np.mean([len(set(a) & set(b)) / k for a, b in zip(ii, if_)])
@@ -259,7 +362,7 @@ def bench_int8(n: int = 250_000, d: int = 1536, q: int = 1024, k: int = 10) -> N
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--only", choices=["precompute", "ocp", "int8"], default=None
+        "--only", choices=["precompute", "ocp", "int8", "towers"], default=None
     )
     ap.add_argument(
         "--smoke", action="store_true",
@@ -282,6 +385,8 @@ def main() -> None:
             bench_precompute(n_items=32, batch=16, smoke=True)
         else:
             bench_precompute()
+    if args.only == "towers":
+        bench_tower_parts()
     if args.only in (None, "ocp"):
         bench_original_cp(batch=4 if args.smoke else 350, smoke=args.smoke)
 

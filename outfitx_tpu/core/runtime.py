@@ -52,6 +52,34 @@ def apply_env_flags() -> None:
         enable_fast_prng()
 
 
+#: Site dirs whose ``sitecustomize`` registers an out-of-tree PJRT plugin
+#: (the axon TPU relay in this environment). A user-supplied PYTHONPATH
+#: replaces rather than extends the ambient one, silently un-registering
+#: the TPU ("Backend 'axon' is not in the list of known backends").
+_PLUGIN_SITE_DIRS = ("/root/.axon_site",)
+
+
+def restore_shadowed_site_dirs(env: dict | None = None) -> list[str]:
+    """Append any existing plugin site dir missing from PYTHONPATH.
+
+    Mutates ``env`` (default ``os.environ``) and returns the dirs that were
+    restored — empty when PYTHONPATH was already correct or no plugin site
+    dir exists on this machine. The caller decides whether to re-exec."""
+    env = os.environ if env is None else env
+    fixed: list[str] = []
+    for site_dir in _PLUGIN_SITE_DIRS:
+        pp = env.get("PYTHONPATH", "")
+        if (
+            os.path.exists(os.path.join(site_dir, "sitecustomize.py"))
+            and site_dir not in pp.split(os.pathsep)
+        ):
+            env["PYTHONPATH"] = (
+                pp + os.pathsep + site_dir if pp else site_dir
+            )
+            fixed.append(site_dir)
+    return fixed
+
+
 def retry_if_backend_down(
     max_retries: int = 10, sleep_s: float = 60.0
 ) -> None:
@@ -73,6 +101,19 @@ def retry_if_backend_down(
         jax.devices()
         return
     except RuntimeError as e:
+        # A PYTHONPATH override (e.g. `PYTHONPATH=. python bench.py`) can
+        # shadow the site dir whose sitecustomize registers the TPU
+        # plugin; registration then fails every retry. Detect, restore
+        # the site dir, and re-exec immediately.
+        fixed = restore_shadowed_site_dirs()
+        if fixed:
+            print(
+                f"# TPU plugin site dir(s) {fixed} were shadowed by "
+                "PYTHONPATH; restoring and re-executing",
+                file=sys.stderr,
+                flush=True,
+            )
+            os.execv(sys.executable, [sys.executable] + sys.argv)
         attempts = int(os.environ.get("OUTFITX_BENCH_RETRY", "0"))
         if attempts >= max_retries:
             raise

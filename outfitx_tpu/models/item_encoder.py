@@ -63,6 +63,16 @@ class ItemEncoderModel:
             object.__setattr__(self, "vision", VisionTower(vc))
             object.__setattr__(self, "text", TextTower(tc))
         object.__setattr__(self, "normalize_images", make_normalizer(self.cfg.encoder_type))
+        # A tower whose output width disagrees with dim_per_modality would
+        # silently corrupt the concat layout (the text half MUST be
+        # emb[d//2:], polyvore_item_dataset.py:79) — fail loudly instead.
+        for name, d_out in (("vision", vc.d_out), ("text", tc.d_out)):
+            if d_out != self.cfg.dim_per_modality:
+                raise ValueError(
+                    f"{name} tower d_out={d_out} != dim_per_modality="
+                    f"{self.cfg.dim_per_modality}; for siglip towers note "
+                    "d_out == d_model (no output projection)"
+                )
 
     @property
     def has_trainable_heads(self) -> bool:
@@ -96,6 +106,8 @@ class ItemEncoderModel:
         """(B, 3, H, W) uint8 -> (B, d) L2-normalized image embeddings."""
         x = self.normalize_images(images_uint8)
         emb = self.vision(self._freeze(params["vision"], "fc"), x)
+        # Towers compute in bf16 (MXU rate); the catalog contract is f32.
+        emb = emb.astype(jnp.float32)
         if self.cfg.normalize_out:
             emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
         return emb
@@ -110,6 +122,7 @@ class ItemEncoderModel:
             emb = self.text(tp, input_ids, attention_mask)
         else:
             emb = self.text(tp, input_ids, attention_mask)
+        emb = emb.astype(jnp.float32)
         if self.cfg.normalize_out:
             emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
         return emb

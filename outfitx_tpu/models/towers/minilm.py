@@ -33,6 +33,9 @@ class MiniLMConfig:
     d_out: int = 64  # trainable projection width (reference d_embed)
     ln_eps: float = 1e-12  # BERT default
     type_vocab_size: int = 2
+    # bf16 MXU-rate compute (reference AMP autocast equivalent);
+    # "float32" for HF parity tests.
+    compute_dtype: str = "bfloat16"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -86,7 +89,7 @@ class MiniLM:
             jnp.take(bb["word_emb"], input_ids, axis=0)
             + bb["pos_emb"][None, :t]
             + bb["type_emb"][0][None, None]
-        )
+        ).astype(jnp.dtype(cfg.compute_dtype))
         x = layer_norm(x, bb["emb_ln"]["scale"], bb["emb_ln"]["bias"], eps=cfg.ln_eps)
         pad_mask = attention_mask == 0
         h = cfg.n_heads

@@ -30,6 +30,10 @@ class ResNet18Config:
     stage_channels: tuple = (64, 128, 256, 512)
     blocks_per_stage: int = 2
     bn_eps: float = 1e-5
+    # bf16 MXU-rate convs (reference AMP autocast equivalent); BN is
+    # folded-frozen so there are no running-stat precision concerns.
+    # "float32" for torchvision parity tests.
+    compute_dtype: str = "bfloat16"
 
 
 def _conv_init(key, kh, kw, cin, cout):
@@ -120,10 +124,11 @@ class ResNet18:
         return jax.nn.relu(x + y)
 
     def __call__(self, params: Dict, images: jax.Array) -> jax.Array:
-        """images (B, 3, H, W) normalized f32 -> (B, d_out)."""
+        """images (B, 3, H, W) normalized -> (B, d_out)."""
         cfg = self.cfg
         eps = cfg.bn_eps
         bb = params["backbone"]
+        images = images.astype(jnp.dtype(cfg.compute_dtype))
         x = _conv(images, bb["conv1"], 2, [(3, 3), (3, 3)])
         x = jax.nn.relu(_bn(x, bb["bn1"], eps))
         x = jax.lax.reduce_window(

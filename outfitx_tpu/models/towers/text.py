@@ -36,6 +36,9 @@ class TextTowerConfig:
     act: str = "quick_gelu"  # siglip: 'gelu_tanh'
     ln_eps: float = 1e-5  # siglip: 1e-6
     eos_token_id: int = 49407
+    # bf16 MXU-rate compute (reference fp16 autocast equivalent,
+    # slip_text_encoder.py:27-32); "float32" for HF parity tests.
+    compute_dtype: str = "bfloat16"
 
     @property
     def d_out(self) -> int:
@@ -99,6 +102,7 @@ class TextTower:
         cfg = self.cfg
         t = input_ids.shape[1]
         x = jnp.take(params["tok_emb"], input_ids, axis=0)
+        x = x.astype(jnp.dtype(cfg.compute_dtype))
         x = x + params["pos_emb"][None, :t].astype(x.dtype)
         pad_mask = None
         if attention_mask is not None:

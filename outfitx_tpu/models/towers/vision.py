@@ -39,6 +39,12 @@ class VisionTowerConfig:
     proj_dim: int = 512  # CLIP visual projection; ignored for siglip
     act: str = "quick_gelu"  # siglip: 'gelu_tanh'
     ln_eps: float = 1e-5  # siglip: 1e-6
+    # MXU-rate compute; f32 runs at ~1/4 throughput (measured 1375 ->
+    # items/s on the precompute sweep, BENCHMARKS.md). Matches the
+    # reference's fp16 autocast inside its SigLIP/CLIP encoders
+    # (slip_image_encoder.py:43); layernorm/softmax stay f32 internally.
+    # Set "float32" for bit-level parity against HF torch towers.
+    compute_dtype: str = "bfloat16"
 
     @property
     def n_patches(self) -> int:
@@ -131,6 +137,7 @@ class VisionTower:
         """images (B, 3, H, W) preprocessed -> (B, d_out) embeddings."""
         cfg = self.cfg
         b = images.shape[0]
+        images = images.astype(jnp.dtype(cfg.compute_dtype))
         x = linear(params["patch"], self.patchify(images))  # (B, N, D)
         if cfg.variant == "clip":
             cls = jnp.broadcast_to(

@@ -105,7 +105,8 @@ def _pad_batch(q, k, v, pad_mask, tile_b):
 
 def _mha_pallas_impl(q, k, v, pad_mask):
     b, h, l, dh = q.shape
-    tile_b = max(1, min(_tile_cap(l), b))
+    cap = int(os.environ.get("OUTFITX_MHA_TILE", "0")) or _tile_cap(l)
+    tile_b = max(1, min(cap, b))
     q, k, v, pad_mask, pad_b = _pad_batch(q, k, v, pad_mask, tile_b)
     grid = (cdiv(pad_b, tile_b), h)
     qkv_spec = pl.BlockSpec(

@@ -28,6 +28,17 @@ class QuantizedCatalog:
         return self.values.size + 8 * self.scales.size
 
 
+# Pytree registration so a QuantizedCatalog can cross a jit boundary as an
+# ARGUMENT. Closure-capturing it instead bakes the whole int8 catalog into
+# the compiled program as a constant — at serving scale that means a
+# multi-hundred-MB executable (and a rejected remote-compile request).
+jax.tree_util.register_dataclass(
+    QuantizedCatalog,
+    data_fields=["values", "scales", "sq_norms"],
+    meta_fields=[],
+)
+
+
 def quantize_catalog(embeddings: jax.Array) -> QuantizedCatalog:
     """Per-row symmetric int8: scale = max|row| / 127."""
     x = embeddings.astype(jnp.float32)

@@ -8,11 +8,17 @@ training is learnable. Embeddings are written as shards exactly as the
 precompute sweep would produce them, so `Catalog.from_polyvore` and every
 CLI command run in real --dataset-dir mode end to end:
 
-    PYTHONPATH=. python scripts/make_synthetic_polyvore.py --out /tmp/polyvore
+    python scripts/make_synthetic_polyvore.py --out /tmp/polyvore
     python -m outfitx_tpu.cli cp  --dataset-dir /tmp/polyvore ...
 """
 
 from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import argparse
 import json

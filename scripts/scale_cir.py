@@ -3,10 +3,16 @@ assembler over a 250k-item catalog, and full Recall@k evaluation against
 per-category 3000-item pools (the reference protocol,
 complementary_item_retrieval_trainer.py:192-249) — all on device.
 
-    PYTHONPATH=. python scripts/scale_cir.py
+    python scripts/scale_cir.py
 """
 
 from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import argparse
 import time

@@ -3,10 +3,16 @@
 Polyvore-scale catalog (250k items x 1536d = 1.5 GB HBM-resident), synthetic
 data. Reports catalog residency, step time, epoch time, and quality signal.
 
-    PYTHONPATH=. python scripts/scale_run.py [--items 250000] [--outfits 98304]
+    python scripts/scale_run.py [--items 250000] [--outfits 98304]
 """
 
 from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import argparse
 import time

@@ -4,10 +4,16 @@ forward verified against XLA references on the real chip.
 The CPU test suite runs Pallas in interpreter mode; this script is the
 companion check that the compiled kernels behave on hardware:
 
-    PYTHONPATH=. python scripts/tpu_smoke.py
+    python scripts/tpu_smoke.py
 """
 
 from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import sys
 

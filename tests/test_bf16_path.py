@@ -60,3 +60,54 @@ def test_bf16_f32_agree_loosely(rng):
     b = np.asarray(m_f32.cp_forward(params, emb, mask))
     # bf16 rounding noise only — same order of magnitude, high correlation
     assert np.corrcoef(a, b)[0, 1] > 0.99
+
+
+class TestTowerBf16Compute:
+    """Towers default to bf16 compute (MXU rate; the reference's fp16
+    autocast equivalent, slip_image_encoder.py:43) but must emit f32,
+    unit-norm embeddings that agree loosely with the f32 path."""
+
+    def _encoder(self, compute_dtype):
+        from outfitx_tpu.models.item_encoder import ItemEncoderModel
+        from outfitx_tpu.models.towers.text import TextTowerConfig
+        from outfitx_tpu.models.towers.vision import VisionTowerConfig
+
+        return ItemEncoderModel(
+            ItemEncoderConfig(encoder_type="siglip", dim_per_modality=16),
+            # siglip vision has no output projection: d_out == d_model,
+            # so d_model must equal dim_per_modality here.
+            vision_cfg=VisionTowerConfig(
+                variant="siglip", image_size=32, patch_size=16, d_model=16,
+                n_heads=4, d_mlp=64, n_layers=2,
+                compute_dtype=compute_dtype,
+            ),
+            text_cfg=TextTowerConfig(
+                variant="siglip", vocab_size=128, max_len=16, d_model=32,
+                n_heads=4, d_mlp=64, n_layers=2, proj_dim=16,
+                compute_dtype=compute_dtype,
+            ),
+        )
+
+    def test_bf16_towers_emit_f32_close_to_f32_path(self, rng):
+        enc_bf = self._encoder("bfloat16")
+        enc_f32 = self._encoder("float32")
+        params = enc_bf.init(jax.random.PRNGKey(0))
+        imgs = jnp.asarray(
+            rng.integers(0, 256, (4, 3, 32, 32)), dtype=jnp.uint8
+        )
+        ids = jnp.asarray(rng.integers(2, 128, (4, 16)), dtype=jnp.int32)
+        attn = jnp.ones_like(ids)
+
+        e_bf = enc_bf.encode(params, imgs, ids, attn)
+        e_f32 = enc_f32.encode(params, imgs, ids, attn)
+        assert e_bf.dtype == jnp.float32
+        # halves are independently L2-normalized
+        d = e_bf.shape[-1]
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(e_bf[:, : d // 2]), axis=-1), 1.0,
+            atol=1e-3,
+        )
+        # bf16 mantissa is 8 bits: loose agreement with the f32 path
+        np.testing.assert_allclose(
+            np.asarray(e_bf), np.asarray(e_f32), atol=0.05
+        )

@@ -56,10 +56,12 @@ def test_load_clip_checkpoint_matches_torch(clip_checkpoint, rng):
         vision_cfg=VisionTowerConfig(
             variant="clip", image_size=32, patch_size=16, d_model=64,
             n_heads=4, d_mlp=96, n_layers=2, proj_dim=40,
+            compute_dtype="float32",
         ),
         text_cfg=TextTowerConfig(
             variant="clip", vocab_size=300, max_len=16, d_model=64,
             n_heads=4, d_mlp=96, n_layers=2, proj_dim=40, eos_token_id=299,
+            compute_dtype="float32",
         ),
     )
     params = load_item_encoder_params(enc, root)

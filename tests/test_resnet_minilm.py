@@ -37,6 +37,7 @@ class TestMiniLMParity:
             )
         ).eval()
         cfg = MiniLMConfig(
+            compute_dtype="float32",
             vocab_size=500, max_len=64, d_model=48, n_heads=4, d_mlp=96,
             n_layers=2, d_out=16,
         )
@@ -138,7 +139,7 @@ class TestResNet18Parity:
             if isinstance(m, tnn.BatchNorm2d):
                 m.running_mean.uniform_(-0.5, 0.5)
                 m.running_var.uniform_(0.5, 1.5)
-        model = ResNet18(ResNet18Config(d_out=16, image_size=64))
+        model = ResNet18(ResNet18Config(d_out=16, image_size=64, compute_dtype="float32"))
         sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
         params = convert_resnet18(sd, d_out=16)
         assert "fc" in params  # matching width -> fc converted too
@@ -168,6 +169,7 @@ class TestResnetSbertEncoder:
             ItemEncoderConfig(encoder_type="resnet_sbert", dim_per_modality=8),
             vision_cfg=ResNet18Config(d_out=8, image_size=32),
             text_cfg=MiniLMConfig(
+            compute_dtype="float32",
                 vocab_size=100, max_len=16, d_model=24, n_heads=4, d_mlp=48,
                 n_layers=1, d_out=8,
             ),

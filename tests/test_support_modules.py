@@ -140,3 +140,44 @@ class TestPerStepLogging:
             name = t.model_name
         text = (tmp_path / "l" / f"{name}_metrics.jsonl").read_text()
         assert '"split": "train_batch"' in text
+
+
+class TestRestoreShadowedSiteDirs:
+    """A user PYTHONPATH override (PYTHONPATH=. python bench.py) replaces
+    the ambient path whose sitecustomize registers the TPU plugin; the
+    runtime helper detects and repairs the env before re-exec."""
+
+    def test_restores_missing_site_dir(self, monkeypatch, tmp_path):
+        from outfitx_tpu.core import runtime
+
+        site = tmp_path / "plugin_site"
+        site.mkdir()
+        (site / "sitecustomize.py").write_text("")
+        monkeypatch.setattr(runtime, "_PLUGIN_SITE_DIRS", (str(site),))
+        env = {"PYTHONPATH": "."}
+        fixed = runtime.restore_shadowed_site_dirs(env)
+        assert fixed == [str(site)]
+        assert env["PYTHONPATH"].split(":") == [".", str(site)]
+        # idempotent: already present -> nothing to fix
+        assert runtime.restore_shadowed_site_dirs(env) == []
+
+    def test_noop_without_site_dir(self, monkeypatch, tmp_path):
+        from outfitx_tpu.core import runtime
+
+        monkeypatch.setattr(
+            runtime, "_PLUGIN_SITE_DIRS", (str(tmp_path / "absent"),)
+        )
+        env = {}
+        assert runtime.restore_shadowed_site_dirs(env) == []
+        assert "PYTHONPATH" not in env
+
+    def test_empty_pythonpath_set_directly(self, monkeypatch, tmp_path):
+        from outfitx_tpu.core import runtime
+
+        site = tmp_path / "s"
+        site.mkdir()
+        (site / "sitecustomize.py").write_text("")
+        monkeypatch.setattr(runtime, "_PLUGIN_SITE_DIRS", (str(site),))
+        env = {}
+        assert runtime.restore_shadowed_site_dirs(env) == [str(site)]
+        assert env["PYTHONPATH"] == str(site)

@@ -49,6 +49,7 @@ class TestCLIPVisionParity:
         )
         hf = CLIPVisionModelWithProjection(hf_cfg).eval()
         cfg = VisionTowerConfig(
+            compute_dtype="float32",
             variant="clip",
             image_size=32,
             patch_size=16,
@@ -84,6 +85,7 @@ class TestCLIPTextParity:
         )
         hf = CLIPTextModelWithProjection(hf_cfg).eval()
         cfg = TextTowerConfig(
+            compute_dtype="float32",
             variant="clip",
             vocab_size=1000,
             max_len=32,
@@ -120,6 +122,7 @@ class TestSigLIPVisionParity:
         )
         hf = SiglipVisionModel(hf_cfg).eval()
         cfg = VisionTowerConfig(
+            compute_dtype="float32",
             variant="siglip",
             image_size=32,
             patch_size=16,
@@ -154,6 +157,7 @@ class TestSigLIPTextParity:
         )
         hf = SiglipTextModel(hf_cfg).eval()
         cfg = TextTowerConfig(
+            compute_dtype="float32",
             variant="siglip",
             vocab_size=1000,
             max_len=32,

@@ -12,6 +12,8 @@ slip_image_encoder.py:35-47).
 import io
 
 import jax.numpy as jnp
+import dataclasses
+
 import numpy as np
 import pytest
 import torch
@@ -47,7 +49,7 @@ class TestCLIPB32VisionFullSize:
 
         # openai/clip-vit-base-patch32 (= fashion-clip) production config
         hf = CLIPVisionModelWithProjection(CLIPVisionConfig()).eval()
-        cfg = VisionTowerConfig.clip_b32()
+        cfg = dataclasses.replace(VisionTowerConfig.clip_b32(), compute_dtype="float32")
         assert (cfg.d_model, cfg.n_layers, cfg.seq_len) == (768, 12, 50)
         tower = VisionTower(cfg)
         params = convert_clip_vision(
@@ -67,7 +69,7 @@ class TestCLIPBTextFullSize:
         from transformers import CLIPTextConfig, CLIPTextModelWithProjection
 
         hf = CLIPTextModelWithProjection(CLIPTextConfig()).eval()
-        cfg = TextTowerConfig.clip_b()
+        cfg = dataclasses.replace(TextTowerConfig.clip_b(), compute_dtype="float32")
         assert (cfg.vocab_size, cfg.max_len, cfg.eos_token_id) == (
             49408, 77, 49407,
         )
@@ -93,7 +95,7 @@ class TestSigLIPB16VisionFullSize:
 
         # google/siglip-base-patch16-224 (= marqo-fashionSigLIP) config
         hf = SiglipVisionModel(SiglipVisionConfig()).eval()
-        cfg = VisionTowerConfig.siglip_b16()
+        cfg = dataclasses.replace(VisionTowerConfig.siglip_b16(), compute_dtype="float32")
         assert (cfg.d_model, cfg.n_layers, cfg.seq_len) == (768, 12, 196)
         tower = VisionTower(cfg)
         params = convert_siglip_vision(
@@ -115,7 +117,7 @@ class TestSigLIPBTextFullSize:
         from transformers import SiglipTextConfig, SiglipTextModel
 
         hf = SiglipTextModel(SiglipTextConfig()).eval()
-        cfg = TextTowerConfig.siglip_b()
+        cfg = dataclasses.replace(TextTowerConfig.siglip_b(), compute_dtype="float32")
         assert (cfg.vocab_size, cfg.max_len, cfg.d_model) == (32000, 64, 768)
         tower = TextTower(cfg)
         params = convert_siglip_text(
@@ -153,6 +155,7 @@ class TestMiniLML6FullSize:
             )
         ).eval()
         cfg = MiniLMConfig(
+            compute_dtype="float32",
             vocab_size=30522, max_len=512, d_model=384, n_heads=12,
             d_mlp=1536, n_layers=6, d_out=64,
         )
