@@ -12,6 +12,7 @@ x = x + attn(ln1(x)); x = x + mlp(ln2(x)); biased QKV/out projections.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 import jax
@@ -97,6 +98,21 @@ def apply_encoder(
     b, s, d = x.shape
     dh = d // n_heads
     act_fn = ACTIVATIONS[act]
+    # OUTFITX_TOWER_FLASH=1 routes unmasked non-causal tower attention
+    # (the ViTs) through the stock TPU flash kernel. Structurally exact
+    # (geometric padding excluded via segment ids) but measured SLOWER at
+    # ViT-B/16 scale on v5e — 1537 vs 1177 ms/2048-batch (0.77x): at
+    # S=256/Dh=64 the kernel's per-program overheads beat the HBM-traffic
+    # saving it exists for. Kept as an opt-in escape hatch for longer
+    # sequences; default is the XLA einsum formulation.
+    attn_impl = "auto"
+    if (
+        pad_mask is None
+        and not causal
+        and s > 32
+        and os.environ.get("OUTFITX_TOWER_FLASH", "0") == "1"
+    ):
+        attn_impl = "flash"
     if pad_mask is None:
         pad_mask = jnp.zeros((b, s), dtype=bool)
 
@@ -110,7 +126,7 @@ def apply_encoder(
         q = heads(linear(lp["attn"]["q"], y))
         k = heads(linear(lp["attn"]["k"], y))
         v = heads(linear(lp["attn"]["v"], y))
-        o = masked_mha(q, k, v, pad_mask, causal=causal)
+        o = masked_mha(q, k, v, pad_mask, causal=causal, impl=attn_impl)
         o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
         h = h + linear(lp["attn"]["o"], o)
         y = layer_norm(h, lp["ln2"]["scale"], lp["ln2"]["bias"], eps=ln_eps)

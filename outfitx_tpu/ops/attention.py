@@ -231,6 +231,42 @@ def _mha_bwd(res, g):
 _mha_pallas.defvjp(_mha_fwd, _mha_bwd)
 
 
+def _mha_flash_nomask(q, k, v):
+    """Unmasked long-sequence attention via the stock TPU flash-attention
+    Pallas kernel (jax.experimental.pallas.ops.tpu.flash_attention).
+
+    Used for the ViT towers (L=197 ViT-B/16, 50 ViT-B/32): XLA's einsum
+    attention materializes the (B*H, L, L) score matrix in HBM, which is
+    the dominant non-matmul traffic of the vision tower (BENCHMARKS.md
+    precompute bisection). Sequences are padded to a 128 multiple; padded
+    positions are excluded EXACTLY via segment ids (real tokens segment 0,
+    padding segment 1), so real queries attend precisely the real keys and
+    the padded query rows are sliced away — numerics match the reference
+    formulation up to flash's f32 online-softmax reassociation."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, h, l, dh = q.shape
+    lp = round_up(l, 128)
+    if lp != l:
+        pad = ((0, 0), (0, 0), (0, lp - l), (0, 0))
+        q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
+    seg = jnp.broadcast_to(
+        (jnp.arange(lp) >= l).astype(jnp.int32)[None, :], (b, lp)
+    )
+    out = flash_attention(
+        q,
+        k,
+        v,
+        segment_ids=SegmentIds(q=seg, kv=seg),
+        causal=False,
+        sm_scale=1.0 / (dh**0.5),
+    )
+    return out[:, :, :l]
+
+
 def masked_mha(q, k, v, pad_mask, *, causal: bool = False, impl: str = "auto"):
     """Multi-head attention with key-padding mask (True = pad) and optional
     causal masking (text towers).
@@ -240,11 +276,17 @@ def masked_mha(q, k, v, pad_mask, *, causal: bool = False, impl: str = "auto"):
     if impl == "auto":
         # Pallas wins for the tiny-L set attention it is specialized for
         # (+22% end-to-end at L=17 on v5e); at tower sequence lengths
-        # (L=50 ViT-B/32, 197 ViT-B/16, 64-77 text) XLA's fused attention is
-        # already near-optimal and the Pallas small-tile variant compiles
-        # slowly, so route long sequences to XLA.
+        # (L=50 ViT-B/32, 197 ViT-B/16, 64-77 text) XLA's einsum attention
+        # is used unless the caller opts into 'flash' (structurally safe
+        # only when there is no semantic key mask — see apply_encoder).
         use_pallas = jax.default_backend() == "tpu" and q.shape[2] <= 32
         impl = "pallas" if use_pallas else "xla"
+    if impl == "flash":
+        # Caller guarantees pad_mask is all-False and not causal; the stock
+        # flash kernel needs a TPU backend.
+        if jax.default_backend() == "tpu" and not causal:
+            return _mha_flash_nomask(q, k, v)
+        impl = "xla"
     if impl == "pallas" and not causal:
         return _mha_pallas(q, k, v, pad_mask)
     return _mha_reference(q, k, v, pad_mask, causal=causal)

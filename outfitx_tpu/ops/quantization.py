@@ -54,7 +54,8 @@ def quantize_catalog(embeddings: jax.Array) -> QuantizedCatalog:
 
 
 def retrieve_quantized(
-    queries: jax.Array, catalog: QuantizedCatalog, k: int
+    queries: jax.Array, catalog: QuantizedCatalog, k: int,
+    *, approx: bool = False
 ):
     """Top-k nearest rows by L2 against the int8 catalog.
 
@@ -72,5 +73,6 @@ def retrieve_quantized(
         preferred_element_type=jnp.float32,
     ) * catalog.scales[None, :]
     d2 = jnp.maximum(q2 + catalog.sq_norms[None, :] - 2.0 * cross, 0.0)
-    neg_vals, idx = jax.lax.top_k(-d2, k)
-    return -neg_vals, idx
+    from outfitx_tpu.ops.retrieval import topk_smallest
+
+    return topk_smallest(d2, k, approx=approx)

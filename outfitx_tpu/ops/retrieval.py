@@ -27,17 +27,33 @@ def pairwise_l2(queries, pool, *, squared: bool = False):
     return d2 if squared else jnp.sqrt(d2)
 
 
-def topk_smallest(dists, k: int):
-    """Indices+values of the k smallest entries along the last axis."""
-    neg_vals, idx = jax.lax.top_k(-dists, k)
+def topk_smallest(dists, k: int, *, approx: bool = False,
+                  recall_target: float = 0.99):
+    """Indices+values of the k smallest entries along the last axis.
+
+    approx=True uses the TPU-native ``lax.approx_max_k``: at serving scale
+    (250k x 1536, Q=1024, k=10) exact ``lax.top_k`` costs ~10 ms on top of
+    the ~7.7 ms distance matmul while approx_max_k is free (fuses into the
+    consumption of the distance matrix; measured 17.8 -> 7.8 ms total,
+    recall 0.995 vs exact — scripts/bench_retrieval_topk.py)."""
+    if approx:
+        neg_vals, idx = jax.lax.approx_max_k(
+            -dists, k, recall_target=recall_target
+        )
+    else:
+        neg_vals, idx = jax.lax.top_k(-dists, k)
     return -neg_vals, idx
 
 
-def retrieve(queries, pool, k: int):
+def retrieve(queries, pool, k: int, *, approx: bool = False):
     """Top-k nearest pool items by L2 (squared distances — same ranking,
-    skips the sqrt). Returns (dists2 (Q,k), indices (Q,k))."""
+    skips the sqrt). Returns (dists2 (Q,k), indices (Q,k)).
+
+    approx=True (serving path) trades exactness for ~2.3x latency
+    (recall ~0.995 at k=10; see topk_smallest). Metric-eval paths keep
+    the exact default."""
     d2 = pairwise_l2(queries, pool, squared=True)
-    return topk_smallest(d2, k)
+    return topk_smallest(d2, k, approx=approx)
 
 
 def retrieve_chunked(queries, pool, k: int, *, chunk_size: int = 65_536):

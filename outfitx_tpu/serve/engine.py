@@ -45,6 +45,10 @@ class ServingEngine:
     # Directory holding {item_id}.jpg files (reference demo renders item
     # images, app.py:255-387); None disables image URLs.
     images_dir: Optional[str] = None
+    # Serving uses the TPU-native approximate top-k: ~2.3x lower retrieval
+    # latency at recall ~0.995 vs exact (ops/retrieval.topk_smallest).
+    # Metric-eval code paths (evalm/) are unaffected and stay exact.
+    approx_topk: bool = True
 
     warmup: bool = True
 
@@ -86,13 +90,17 @@ class ServingEngine:
         if self._qcat is not None:
             from outfitx_tpu.ops.quantization import retrieve_quantized
 
-            return retrieve_quantized(queries, self._qcat, k=k)
+            return retrieve_quantized(
+                queries, self._qcat, k=k, approx=self.approx_topk
+            )
         n = self.catalog.n_items
         if n > self.chunk_threshold:
             return retrieve_chunked(
                 queries, self.catalog_dev[:n], k, chunk_size=self.chunk_threshold
             )
-        return retrieve(queries, self.catalog_dev[:n], k=k)
+        return retrieve(
+            queries, self.catalog_dev[:n], k=k, approx=self.approx_topk
+        )
 
     # ------------------------------------------------------------ tasks --
     def _pad(self, item_ids: List[int]):

@@ -235,3 +235,67 @@ class TestChunkedRetrieval:
         d, i = retrieve_chunked(q, pool, k=10, chunk_size=4)
         assert d.shape == (2, 5)  # clamped to pool size
         assert set(np.asarray(i)[0].tolist()) == set(range(5))
+
+
+class TestApproxTopK:
+    """Serving-path approximate top-k (lax.approx_max_k): same contract as
+    the exact path; recall vs exact is ~1.0 on CPU and >=0.99 on TPU at
+    serving scale (scripts/bench_retrieval_topk.py)."""
+
+    def test_approx_matches_exact_contract(self):
+        import numpy as np
+
+        from outfitx_tpu.ops.retrieval import retrieve
+
+        rng = np.random.default_rng(3)
+        pool = jnp.asarray(rng.standard_normal((500, 64)).astype(np.float32))
+        qs = jnp.asarray(rng.standard_normal((16, 64)).astype(np.float32))
+        de, ie = retrieve(qs, pool, 10)
+        da, ia = retrieve(qs, pool, 10, approx=True)
+        assert ia.shape == (16, 10) and da.shape == (16, 10)
+        overlap = np.mean(
+            [len(set(a) & set(b)) / 10
+             for a, b in zip(np.asarray(ie), np.asarray(ia))]
+        )
+        assert overlap >= 0.9
+        # distances are sorted ascending in both
+        assert (np.diff(np.asarray(da), axis=1) >= -1e-6).all()
+
+    def test_quantized_approx_route(self):
+        import numpy as np
+
+        from outfitx_tpu.ops.quantization import (
+            quantize_catalog,
+            retrieve_quantized,
+        )
+
+        rng = np.random.default_rng(4)
+        pool = jnp.asarray(rng.standard_normal((400, 64)).astype(np.float32))
+        qcat = quantize_catalog(pool)
+        qs = jnp.asarray(rng.standard_normal((8, 64)).astype(np.float32))
+        de, ie = retrieve_quantized(qs, qcat, 10)
+        da, ia = retrieve_quantized(qs, qcat, 10, approx=True)
+        overlap = np.mean(
+            [len(set(a) & set(b)) / 10
+             for a, b in zip(np.asarray(ie), np.asarray(ia))]
+        )
+        assert overlap >= 0.9
+
+
+def test_flash_impl_falls_back_off_tpu(rng):
+    """impl='flash' is TPU-only; off-TPU it must route to the XLA
+    reference and still produce correct masked attention."""
+    import numpy as np
+
+    from outfitx_tpu.ops.attention import masked_mha
+
+    b, h, l, dh = 2, 2, 40, 8
+    q = jnp.asarray(rng.standard_normal((b, h, l, dh)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, l, dh)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, l, dh)), dtype=jnp.float32)
+    mask = jnp.zeros((b, l), dtype=bool)
+    got = masked_mha(q, k, v, mask, impl="flash")
+    want = masked_mha(q, k, v, mask, impl="xla")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5
+    )
