@@ -322,10 +322,16 @@ def bench_int8(n: int = 250_000, d: int = 1536, q: int = 1024, k: int = 10) -> N
         d2, idx = retrieve(queries, catalog, k)
         return d2, idx, queries + (d2[:, :1] * 1e-12)
 
+    @jax.jit
+    def chained_qa(queries, qcat):
+        d2, idx = retrieve_quantized(queries, qcat, k, approx=True)
+        return d2, idx, queries + (d2[:, :1] * 1e-12)
+
     results = {}
     for name, fn, cat in (
         ("int8", chained_q, qcat),
         ("f32", chained_f, catalog),
+        ("int8_approx", chained_qa, qcat),  # the serving default route
     ):
         d2, idx, qq = fn(queries, cat)
         _sync_scalar(d2)
@@ -350,8 +356,15 @@ def bench_int8(n: int = 250_000, d: int = 1536, q: int = 1024, k: int = 10) -> N
                 "queries": q,
                 "int8_ms": round(results["int8"] * 1000, 2),
                 "f32_ms": round(results["f32"] * 1000, 2),
+                "int8_approx_ms": round(results["int8_approx"] * 1000, 2),
                 "speedup": round(results["f32"] / results["int8"], 2),
+                "serving_route_speedup_vs_f32_exact": round(
+                    results["f32"] / results["int8_approx"], 2
+                ),
                 "int8_queries_per_sec": round(q / results["int8"], 1),
+                "serving_route_queries_per_sec": round(
+                    q / results["int8_approx"], 1
+                ),
                 "top10_agreement_vs_f32": round(agree, 4),
             }
         ),

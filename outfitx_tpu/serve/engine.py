@@ -63,12 +63,7 @@ class ServingEngine:
             self._qcat = quantize_catalog(self.catalog_dev[: self.catalog.n_items])
         self._rng = np.random.default_rng(0)
         if not self.mock:
-            self._cp_fn = jax.jit(
-                lambda p, e, m: self.model.cp_forward(p, e, m)
-            )
-            self._cir_fn = jax.jit(
-                lambda p, e, m, t: self.model.cir_forward(p, e, m, t)
-            )
+            self._build_task_programs()
             if self.warmup:
                 # Trigger jit compiles at startup so the first HTTP request
                 # doesn't stall for minutes behind XLA compilation.
@@ -77,56 +72,91 @@ class ServingEngine:
                 if self.cir_params is not None:
                     self.cir_top10(ids[:1], ids[1])
 
+    def _build_task_programs(self):
+        """One jitted program per task, taking catalog ROW INDICES.
+
+        Each eager op is a round-trip to the device (tens of ms through a
+        remote-relay deployment — measured 44-84 ms/call p50 with the
+        gather/slice/forward/top-k chain dispatched op by op at 250k-item
+        scale). Fusing gather + forward + retrieval into a single program
+        leaves exactly one dispatch and one small D2H per request. Routing
+        (quantized / chunked / dense) is static per engine config, so it is
+        baked in at trace time."""
+        n = self.catalog.n_items
+        d = self.catalog.d_embed
+        approx = self.approx_topk
+        quantized = self._qcat is not None
+        chunked = (not quantized) and n > self.chunk_threshold
+        model = self.model
+
+        def cir_query(p, cat, rows, mask, target_row):
+            emb = jnp.take(cat, rows, axis=0)  # (1, L, D)
+            text = jnp.take(cat, target_row[None], axis=0)[:, d // 2 :]
+            return model.cir_forward(p, emb, mask, text)
+
+        def catalog_topk(y, cat, qcat, k):
+            if quantized:
+                from outfitx_tpu.ops.quantization import retrieve_quantized
+
+                return retrieve_quantized(y, qcat, k, approx=approx)
+            if chunked:
+                return retrieve_chunked(
+                    y, cat[:n], k, chunk_size=self.chunk_threshold
+                )
+            return retrieve(y, cat[:n], k=k, approx=approx)
+
+        def cp_task(p, cat, rows, mask):
+            emb = jnp.take(cat, rows, axis=0)
+            return jax.nn.sigmoid(model.cp_forward(p, emb, mask))
+
+        def cir_task(p, cat, qcat, rows, mask, target_row):
+            y = cir_query(p, cat, rows, mask, target_row)
+            return catalog_topk(y, cat, qcat, 10)
+
+        def cir_pool_task(p, cat, rows, mask, target_row, pool_rows):
+            y = cir_query(p, cat, rows, mask, target_row)
+            pool_emb = jnp.take(cat, pool_rows, axis=0)
+            return retrieve(y, pool_emb, k=10)  # 3000-pool: exact
+
+        def fitb_task(p, cat, rows, mask, text_row, cand_rows):
+            y = cir_query(p, cat, rows, mask, text_row)
+            cands = jnp.take(cat, cand_rows, axis=0)[None]
+            return fitb_pick(y, cands)
+
+        def sim_task(cat, qcat, row, k):
+            q = jnp.take(cat, row[None], axis=0)
+            return catalog_topk(q, cat, qcat, k)
+
+        self._cp_task = jax.jit(cp_task)
+        self._cir_task = jax.jit(cir_task)
+        self._cir_pool_task = jax.jit(cir_pool_task)
+        self._fitb_task = jax.jit(fitb_task)
+        self._sim_task = jax.jit(sim_task, static_argnums=3)
+
     def lookup_row(self, item_id: int) -> int:
         row = self.catalog.id_to_row.get(int(item_id))
         if row is None:
             raise UnknownItemError(f"unknown item_id {item_id}")
         return row
 
-    def _retrieve_catalog(self, queries, k: int):
-        """Whole-catalog top-k, routed by scale: int8 when quantized,
-        chunk-streamed when the catalog is too large for a dense (Q, N)
-        distance matrix, dense single-matmul otherwise."""
-        if self._qcat is not None:
-            from outfitx_tpu.ops.quantization import retrieve_quantized
-
-            return retrieve_quantized(
-                queries, self._qcat, k=k, approx=self.approx_topk
-            )
-        n = self.catalog.n_items
-        if n > self.chunk_threshold:
-            return retrieve_chunked(
-                queries, self.catalog_dev[:n], k, chunk_size=self.chunk_threshold
-            )
-        return retrieve(
-            queries, self.catalog_dev[:n], k=k, approx=self.approx_topk
-        )
-
     # ------------------------------------------------------------ tasks --
     def _pad(self, item_ids: List[int]):
+        """Host-side row/mask assembly — numpy only, no device dispatch."""
         for i in item_ids:
             self.lookup_row(i)  # clear error for unknown ids
         rows, mask = _pad_outfits(
             self.catalog, [list(item_ids)], self.model_cfg.max_outfit_len
         )
-        emb = self.catalog_dev[jnp.asarray(rows)]
-        return emb, jnp.asarray(mask)
+        return np.asarray(rows, dtype=np.int32), np.asarray(mask)
 
     def cp_score(self, item_ids: List[int]) -> float:
         """Sigmoid compatibility score for one outfit."""
         if self.mock:
             return float(self._rng.random())
-        emb, mask = self._pad(item_ids)
-        logit = self._cp_fn(self.cp_params, emb, mask)
-        return float(jax.nn.sigmoid(logit)[0])
-
-    def _cir_query(self, item_ids: List[int], target_item_id: Optional[int], target_row: Optional[int] = None):
-        emb, mask = self._pad(item_ids)
-        if target_row is None:
-            target_row = self.lookup_row(target_item_id)
-        d = self.catalog.d_embed
-        text = self.catalog_dev[target_row][d // 2 :][None, :]
-        return self._cir_fn(self.cir_params, emb, mask, text)
+        rows, mask = self._pad(item_ids)
+        return float(
+            np.asarray(self._cp_task(self.cp_params, self.catalog_dev, rows, mask))[0]
+        )
 
     def cir_top10(
         self, item_ids: List[int], target_item_id: int
@@ -137,24 +167,27 @@ class ServingEngine:
             return [self._item_info(int(r), 1.0) for r in rows]
         target_row = self.lookup_row(target_item_id)
         cid = int(self.catalog.category_id[target_row])
+        rows, mask = self._pad(item_ids)
+        trow = np.int32(target_row)
         pool_rows = (
             self.pools.pools.get(cid)
             if self.pools is not None
             else None
         )
-        if pool_rows is None:  # whole-catalog retrieval
-            y = self._cir_query(item_ids, target_item_id)
-            d2, idx = self._retrieve_catalog(y, k=10)
-            pool_rows = np.arange(self.catalog.n_items, dtype=np.int32)
+        if pool_rows is None:  # whole-catalog retrieval, one fused program
+            d2, idx = self._cir_task(
+                self.cir_params, self.catalog_dev, self._qcat, rows, mask, trow
+            )
+            pool_rows = None  # idx already global rows
         else:
-            y = self._cir_query(item_ids, target_item_id)
-            pool_emb = self.catalog_dev[jnp.asarray(pool_rows)]
-            d2, idx = retrieve(y, pool_emb, k=10)
+            d2, idx = self._cir_pool_task(
+                self.cir_params, self.catalog_dev, rows, mask, trow,
+                np.asarray(pool_rows, dtype=np.int32),
+            )
         out = []
-        for rank, (i, dist) in enumerate(
-            zip(np.asarray(idx)[0], np.asarray(d2)[0])
-        ):
-            out.append(self._item_info(int(pool_rows[i]), float(dist)))
+        for i, dist in zip(np.asarray(idx)[0], np.asarray(d2)[0]):
+            row = int(i) if pool_rows is None else int(pool_rows[i])
+            out.append(self._item_info(row, float(dist)))
         return out
 
     def fitb_pick(
@@ -163,14 +196,19 @@ class ServingEngine:
         """Index of the best-fitting candidate."""
         if self.mock:
             return int(self._rng.integers(len(candidate_ids)))
-        # condition on each candidate's text half? The reference FITB demo
-        # uses the answer-agnostic query: candidates share a category, so use
-        # the first candidate's text embedding (matches processor semantics
-        # of passing the target item's text, app.py:205-232).
-        y = self._cir_query(item_ids, candidate_ids[0])
-        cand_rows = self.catalog.rows(candidate_ids)
-        cands = self.catalog_dev[jnp.asarray(cand_rows)][None]
-        return int(np.asarray(fitb_pick(y, cands))[0])
+        # The reference FITB demo uses the answer-agnostic query: candidates
+        # share a category, so use the first candidate's text embedding
+        # (matches processor semantics, app.py:205-232).
+        rows, mask = self._pad(item_ids)
+        return int(
+            np.asarray(
+                self._fitb_task(
+                    self.cir_params, self.catalog_dev, rows, mask,
+                    np.int32(self.lookup_row(candidate_ids[0])),
+                    np.asarray(self.catalog.rows(candidate_ids), dtype=np.int32),
+                )
+            )[0]
+        )
 
     # ------------------------------------------------------------ util --
     def image_path(self, item_id: int):
@@ -203,8 +241,9 @@ class ServingEngine:
         """Nearest catalog neighbours of an item by embedding L2 (serving
         convenience beyond the reference demo)."""
         row = self.lookup_row(item_id)
-        q = self.catalog_dev[row][None, :]
-        d2, idx = self._retrieve_catalog(q, k=k + 1)
+        d2, idx = self._sim_task(
+            self.catalog_dev, self._qcat, np.int32(row), k + 1
+        )
         out = []
         for i, dist in zip(np.asarray(idx)[0], np.asarray(d2)[0]):
             if int(i) == row:
