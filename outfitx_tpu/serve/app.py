@@ -9,6 +9,7 @@ FITB pick) exposed both as a minimal HTML UI and a JSON API:
     GET  /api/sample?n=4   random outfit from the catalog
     GET  /api/similar?item_id=N  nearest catalog neighbours of an item
     POST /api/cp           {"outfit": [ids]}               -> {"score"}
+    POST /api/cp_batch     {"outfits": [[ids], ...]}       -> {"scores"}
     POST /api/cir          {"outfit": [ids], "target": id} -> {"items": [...]}
     POST /api/fitb         {"outfit": [ids], "candidates": [ids]} -> {"pick"}
 """
@@ -133,6 +134,11 @@ def make_handler(engine):
                 if self.path == "/api/cp":
                     return self._send(
                         200, {"score": engine.cp_score(req["outfit"])}
+                    )
+                if self.path == "/api/cp_batch":
+                    return self._send(
+                        200,
+                        {"scores": engine.cp_score_batch(req["outfits"])},
                     )
                 if self.path == "/api/cir":
                     return self._send(

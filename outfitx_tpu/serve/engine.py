@@ -158,6 +158,41 @@ class ServingEngine:
             np.asarray(self._cp_task(self.cp_params, self.catalog_dev, rows, mask))[0]
         )
 
+    def cp_score_batch(self, outfits: List[List[int]]) -> List[float]:
+        """Sigmoid scores for many outfits in ONE device program.
+
+        Batched serving surface (beyond the reference demo, whose UI scores
+        one outfit per click): outfits are padded to L and the batch to the
+        next power of two (so jit compiles one program per size bucket, not
+        per request shape); pad outfits score garbage and are sliced away.
+        """
+        if self.mock:
+            return [float(self._rng.random()) for _ in outfits]
+        if not outfits:
+            return []
+        for ids in outfits:
+            for i in ids:
+                self.lookup_row(i)
+        rows, mask = _pad_outfits(
+            self.catalog, [list(ids) for ids in outfits],
+            self.model_cfg.max_outfit_len,
+        )
+        rows = np.asarray(rows, dtype=np.int32)
+        mask = np.asarray(mask)
+        b = len(outfits)
+        bp = 1 << (b - 1).bit_length()  # next power of two
+        if bp != b:
+            rows = np.concatenate(
+                [rows, np.broadcast_to(rows[:1], (bp - b, *rows.shape[1:]))]
+            )
+            mask = np.concatenate(
+                [mask, np.broadcast_to(mask[:1], (bp - b, *mask.shape[1:]))]
+            )
+        scores = np.asarray(
+            self._cp_task(self.cp_params, self.catalog_dev, rows, mask)
+        )
+        return [float(s) for s in scores[:b]]
+
     def cir_top10(
         self, item_ids: List[int], target_item_id: int
     ) -> List[Dict]:

@@ -47,6 +47,16 @@ class TestEngine:
         s = engine.cp_score(outfit)
         assert 0.0 <= s <= 1.0
 
+    def test_cp_score_batch_matches_single(self, engine):
+        import numpy as np
+
+        outfits = [engine.sample_outfit(n) for n in (2, 3, 4, 5, 3)]
+        batch = engine.cp_score_batch(outfits)
+        assert len(batch) == 5
+        singles = [engine.cp_score(o) for o in outfits]
+        np.testing.assert_allclose(batch, singles, atol=1e-5)
+        assert engine.cp_score_batch([]) == []
+
     def test_cir_top10(self, engine):
         outfit = engine.sample_outfit(3)
         target = engine.sample_outfit(1)[0]
@@ -218,6 +228,11 @@ class TestHTTP:
         outfit = engine.sample_outfit(4)
         cp = self._post(server + "/api/cp", {"outfit": outfit})
         assert 0.0 <= cp["score"] <= 1.0
+        cpb = self._post(
+            server + "/api/cp_batch",
+            {"outfits": [outfit, outfit[:2]]},
+        )
+        assert len(cpb["scores"]) == 2
         cir = self._post(
             server + "/api/cir", {"outfit": outfit[:3], "target": outfit[3]}
         )
