@@ -86,8 +86,9 @@ def bench_precompute(
 
     # Device-core rate: same jitted uint8-normalize+encode program on one
     # staged batch, iterated with a trailing scalar sync. Separates the
-    # tower throughput from the single-core host staging (synthetic image
-    # generation + tokenization) that bounds the sweep above.
+    # tower throughput from what bounds the sweep above on this machine —
+    # measured to be the relay's ~25 MB/s H2D path (~12-15 s per 308 MB
+    # uint8 batch), not host staging (1.2 s) or the encode (1.5 s).
     import jax
     import jax.numpy as jnp
 
