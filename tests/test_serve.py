@@ -255,3 +255,29 @@ class TestHTTP:
             assert e.code == 400
             assert "missing field" in json.loads(e.read())["error"]
         assert raised
+
+
+class TestConcurrentRequests:
+    """ThreadingHTTPServer serves each request on its own thread; jitted
+    calls must be safe under that concurrency (JAX dispatch is thread-safe,
+    but the engine's host-side assembly must not share mutable state)."""
+
+    def test_parallel_mixed_requests(self, engine):
+        import concurrent.futures
+
+        outfits = [engine.sample_outfit(n % 4 + 2) for n in range(16)]
+        expected = [engine.cp_score(o) for o in outfits]
+
+        def call(i):
+            o = outfits[i]
+            if i % 3 == 2:
+                return ("sim", len(engine.similar_items(o[0], k=5)))
+            return ("cp", engine.cp_score(o))
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+            results = list(ex.map(call, range(16)))
+        for i, (kind, val) in enumerate(results):
+            if kind == "cp":
+                assert abs(val - expected[i]) < 1e-5
+            else:
+                assert val == 5
