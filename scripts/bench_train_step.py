@@ -36,6 +36,7 @@ import numpy as np
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=3072)
+    ap.add_argument("--accum", type=int, default=1)
     ap.add_argument("--dropout", type=float, default=None)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--items", type=int, default=8192)
@@ -87,19 +88,19 @@ def main() -> None:
     step = make_cp_train_step(model, tx)
 
     rng = np.random.default_rng(0)
-    b, l = args.batch, cfg.max_outfit_len
+    b, l, a = args.batch, cfg.max_outfit_len, args.accum
     catalog = jnp.asarray(
         rng.standard_normal((args.items + 1, cfg.d_embed)), dtype=jnp.float32
     )
     batch = {
         "item_idx": jnp.asarray(
-            rng.integers(0, args.items, (1, b, l)), dtype=jnp.int32
+            rng.integers(0, args.items, (a, b, l)), dtype=jnp.int32
         ),
         "mask": jnp.asarray(
-            np.arange(l)[None, None, :] >= rng.integers(2, l + 1, (1, b, 1))
+            np.arange(l)[None, None, :] >= rng.integers(2, l + 1, (a, b, 1))
         ),
         "label": jnp.asarray(
-            (rng.random((1, b)) > 0.5).astype(np.float32)
+            (rng.random((a, b)) > 0.5).astype(np.float32)
         ),
     }
 
@@ -132,9 +133,11 @@ def main() -> None:
                 "value": round(dt * 1000, 1),
                 "unit": "ms/step",
                 "batch": b,
+                "accum": a,
+                "global_batch": a * b,
                 "dropout": cfg.transformer.dropout,
                 "remat": cfg.remat,
-                "outfits_per_sec": round(b / dt, 1),
+                "outfits_per_sec": round(a * b / dt, 1),
                 "compile_plus_first_s": round(compile_s, 1),
                 "flags": flags,
             }
