@@ -258,11 +258,18 @@ def pes(output_dir, weights, **kw):
 @click.option("--synthetic", is_flag=True)
 @click.option("--mock", is_flag=True, help="UI smoke test with fake predictions")
 @click.option("--quantized", is_flag=True, help="int8 catalog for whole-catalog retrieval")
-def demo(port, synthetic, mock, quantized):
+@click.option(
+    "--exact-topk", is_flag=True,
+    help="exact lax.top_k retrieval (default: TPU-native approx, ~0.995 recall, 2.3x faster)",
+)
+def demo(port, synthetic, mock, quantized, exact_topk):
     """Serving demo (reference src/demo/app.py, port 6006)."""
     from outfitx_tpu.serve.app import build_engine, serve
 
-    engine = build_engine(synthetic=synthetic, mock=mock, quantized=quantized)
+    engine = build_engine(
+        synthetic=synthetic, mock=mock, quantized=quantized,
+        exact_topk=exact_topk,
+    )
     serve(port=port, engine=engine, mock=mock)
 
 

@@ -182,6 +182,7 @@ def build_engine(
     dataset_dir: str = "datasets/polyvore",
     checkpoint_dir: str = "checkpoints",
     quantized: bool = False,
+    exact_topk: bool = False,
 ):
     """Engine wiring (reference app.py loads CP + CIR checkpoints and the
     embedding catalog at module import, :51-116)."""
@@ -256,6 +257,9 @@ def build_engine(
         pools=None if quantized else pools,
         mock=mock,
         quantized=quantized,
+        # serving defaults to the TPU-native approximate top-k (recall
+        # ~0.995 at 2.3x lower latency); --exact-topk restores lax.top_k
+        approx_topk=not exact_topk,
         images_dir=str(images_dir) if images_dir.is_dir() else None,
     )
 
