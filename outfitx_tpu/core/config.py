@@ -83,9 +83,10 @@ class TransformerConfig:
     d_ffn: int = 2024
     n_layers: int = 6
     dropout: float = 0.3
-    activation: str = "mish"
-    norm_first: bool = True
-    final_norm: bool = False  # reference has no terminal LN after the stack
+    activation: str = "mish"  # {'mish', 'relu', 'gelu'}
+    norm_first: bool = True  # False = torch post-LN residual placement
+    final_norm: bool = False  # True adds a terminal LN after the stack
+    # (torch nn.TransformerEncoder(norm=...)); the reference passes norm=None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -208,8 +209,13 @@ class CIRTrainConfig(TrainConfig):
 @dataclasses.dataclass(frozen=True)
 class FITBTrainConfig(TrainConfig):
     """Fill-in-the-blank evaluation
-    (reference fill_in_the_blank_train_config.py; lr 4e-5, test-only)."""
+    (reference fill_in_the_blank_train_config.py; test-only)."""
 
+    # reference sets lr 4e-5 (fill_in_the_blank_train_config.py); unused in
+    # practice since FITB never trains, but the config tree mirrors it.
+    optimizer: OptimizerConfig = _field(
+        default_factory=lambda: OptimizerConfig(learning_rate=4e-5)
+    )
     n_candidates: int = 4
     checkpoint_from: Optional[str] = None  # path to CIR best-Recall@1 ckpt
 

@@ -54,5 +54,11 @@ def keep_mask(key: jax.Array, rate: float, shape) -> tuple:
     """
     if os.environ.get("OUTFITX_DROPOUT_BITS", "8") == "8":
         t = int(round((1.0 - rate) * 256))
-        return jax.random.bits(key, shape, jnp.uint8) < t, t / 256.0
+        # uint8 `bits < t` wraps for t outside [0, 255] (t=256 evaluates
+        # all-False, silently zeroing every activation for rates in
+        # (0, 1/512)); at the corners the quantized threshold is also
+        # degenerate (keep-all / drop-all), so fall through to the exact
+        # bernoulli branch there.
+        if 0 < t < 256:
+            return jax.random.bits(key, shape, jnp.uint8) < t, t / 256.0
     return jax.random.bernoulli(key, 1.0 - rate, shape), 1.0 - rate

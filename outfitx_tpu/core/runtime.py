@@ -48,7 +48,9 @@ def enable_fast_prng() -> None:
 
 
 def apply_env_flags() -> None:
-    if os.environ.get("OUTFITX_FAST_PRNG"):
+    # OUTFITX_FAST_PRNG=0 is the documented opt-OUT (threefry everywhere,
+    # MIGRATION.md); only a truthy value opts the *global* default impl in.
+    if os.environ.get("OUTFITX_FAST_PRNG", "") not in ("", "0"):
         enable_fast_prng()
 
 

@@ -37,7 +37,7 @@ from outfitx_tpu.core import dtypes
 from outfitx_tpu.core import rng as rng_ops
 from outfitx_tpu.core.config import OutfitXConfig
 from outfitx_tpu.core.mesh import constrain
-from outfitx_tpu.ops import layer_norm, masked_mha, mish
+from outfitx_tpu.ops import layer_norm, masked_mha, resolve_activation
 
 Params = Dict[str, Any]
 
@@ -109,7 +109,7 @@ class OutfitXModel:
             lambda *xs: jnp.stack(xs), *[layer_init(k) for k in layer_keys]
         )
         bd = 1.0 / (d**0.5)
-        return {
+        params = {
             "layers": layers,
             # prefix tokens: randn * 0.02 (outfit_x.py:53-55, :69-71)
             "outfit_token": 0.02 * jax.random.normal(keys[1], (d,), pdt),
@@ -121,6 +121,14 @@ class OutfitXModel:
             },
             "cir_proj": {"w": _uniform(keys[5], (d, d), bd, pdt)},
         }
+        if cfg.transformer.final_norm:
+            # torch nn.TransformerEncoder(norm=LayerNorm(d)); the reference
+            # passes norm=None, so this is opt-in (final_norm=False default).
+            params["final_ln"] = {
+                "scale": jnp.ones((d,), pdt),
+                "bias": jnp.zeros((d,), pdt),
+            }
+        return params
 
     # -------------------------------------------------- partition specs --
     def param_partition_specs(self, *, fsdp: bool = False) -> Params:
@@ -133,7 +141,7 @@ class OutfitXModel:
         col = P(None, dax, "model")
         row = P(None, "model", dax)
         rep1 = P(None, None)
-        return {
+        specs = {
             "layers": {
                 "ln1": {"scale": rep1, "bias": rep1},
                 "ln2": {"scale": rep1, "bias": rep1},
@@ -155,6 +163,9 @@ class OutfitXModel:
             "cp_head": {"w": P(None, None), "b": P(None)},
             "cir_proj": {"w": P(None, None)},
         }
+        if self.cfg.transformer.final_norm:
+            specs["final_ln"] = {"scale": P(None), "bias": P(None)}
+        return specs
 
     # ---------------------------------------------------------- encoder --
     def _layer(self, lp: Params, x, pad_mask, rng, deterministic: bool):
@@ -176,9 +187,16 @@ class OutfitXModel:
             return jnp.where(keep, t / q, jnp.zeros_like(t))
 
         k1, k2, k3, k4 = jax.random.split(rng, 4)
+        norm_first = cfg.transformer.norm_first
+        act = resolve_activation(cfg.transformer.activation)
 
-        # --- self-attention block (pre-LN) ---
-        y = layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"])
+        # --- self-attention block (pre-LN default; post-LN when
+        # norm_first=False, matching torch TransformerEncoderLayer) ---
+        y = (
+            layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"])
+            if norm_first
+            else x
+        )
         a = lp["attn"]
 
         # Fused QKV: one (B*S, d) x (d, 3d) matmul feeding all three heads'
@@ -193,16 +211,25 @@ class OutfitXModel:
         o = jnp.dot(o, a["wo"].astype(o.dtype)) + a["bo"].astype(o.dtype)
         o = constrain(o, P("data", None, None))
         x = x + dropout(k1, o)
+        if not norm_first:
+            x = layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"])
 
-        # --- FFN block (pre-LN, mish) ---
-        y = layer_norm(x, lp["ln2"]["scale"], lp["ln2"]["bias"])
+        # --- FFN block ---
+        y = (
+            layer_norm(x, lp["ln2"]["scale"], lp["ln2"]["bias"])
+            if norm_first
+            else x
+        )
         f = lp["ffn"]
-        hmid = mish(jnp.dot(y, f["w1"].astype(y.dtype)) + f["b1"].astype(y.dtype))
+        hmid = act(jnp.dot(y, f["w1"].astype(y.dtype)) + f["b1"].astype(y.dtype))
         hmid = constrain(hmid, P("data", None, "model"))
         hmid = dropout(k3, hmid)
         o = jnp.dot(hmid, f["w2"].astype(hmid.dtype)) + f["b2"].astype(hmid.dtype)
         o = constrain(o, P("data", None, None))
-        return x + dropout(k4, o)
+        x = x + dropout(k4, o)
+        if not norm_first:
+            x = layer_norm(x, lp["ln2"]["scale"], lp["ln2"]["bias"])
+        return x
 
     def encode_set(
         self,
@@ -240,6 +267,9 @@ class OutfitXModel:
                 layer_fn = jax.checkpoint(body, policy=policy)
             idxs = jnp.arange(cfg.transformer.n_layers)
             x, _ = jax.lax.scan(layer_fn, x, (params["layers"], idxs))
+        if cfg.transformer.final_norm:
+            fl = params["final_ln"]
+            x = layer_norm(x, fl["scale"], fl["bias"])
         return x
 
     # ------------------------------------------------------- task heads --

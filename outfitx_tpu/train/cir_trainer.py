@@ -194,9 +194,11 @@ class CIRTrainer(Trainer):
         valid = np.concatenate(valids)
         return np.concatenate(outs)[valid]
 
-    def _eval_loss(self, epoch: int) -> float:
+    def _eval_loss(self, epoch: int, y_hats: np.ndarray) -> float:
         """Ranking loss on eval queries with freshly sampled negatives
-        (mirrors reference valid_epoch :122-170)."""
+        (mirrors reference valid_epoch :122-170). ``y_hats`` is the
+        already-computed `_predict_targets()` sweep — one eval forward per
+        epoch is shared between loss and recall."""
         q = self._eval_queries
         mode = self._mode_for_epoch(epoch)
         neg_idx, neg_mask = sample_negatives_batch(
@@ -206,7 +208,6 @@ class CIRTrainer(Trainer):
             seed=self.cfg.seed,
             epoch=epoch,
         )
-        y_hats = self._predict_targets()
         pos = self._catalog.embeddings[q["pos_idx"]]
         negs = self._catalog.embeddings[neg_idx]
         loss = set_wise_ranking_loss(
@@ -219,12 +220,12 @@ class CIRTrainer(Trainer):
         return float(loss)
 
     def valid_epoch(self, epoch: int) -> Dict[str, float]:
-        metrics: Dict[str, float] = {"loss": self._eval_loss(epoch)}
+        y_hats = self._predict_targets()
+        metrics: Dict[str, float] = {"loss": self._eval_loss(epoch, y_hats)}
         if (
             epoch % self.cfg.recall_every == 0
             or epoch >= self.cfg.switch_to_hard_epoch
         ):
-            y_hats = self._predict_targets()
             q = self._eval_queries
             metrics.update(
                 recall_over_pools(

@@ -22,19 +22,26 @@ from outfitx_tpu.models import OutfitXModel
 
 
 def export_to_torch(model: OutfitXModel, params) -> nn.Module:
-    """Build the reference's torch stack and load our pytree into it."""
+    """Build the reference's torch stack and load our pytree into it,
+    honoring activation/norm_first/final_norm from the config."""
     cfg = model.cfg
     d = cfg.d_embed
+    act = {"mish": F.mish, "relu": F.relu, "gelu": F.gelu}[
+        cfg.transformer.activation
+    ]
     layer = nn.TransformerEncoderLayer(
         d_model=d,
         nhead=cfg.transformer.n_heads,
         dim_feedforward=cfg.transformer.d_ffn,
         dropout=0.0,
-        activation=F.mish,
+        activation=act,
         batch_first=True,
-        norm_first=True,
+        norm_first=cfg.transformer.norm_first,
     )
-    enc = nn.TransformerEncoder(layer, cfg.transformer.n_layers).eval()
+    final = nn.LayerNorm(d) if cfg.transformer.final_norm else None
+    enc = nn.TransformerEncoder(
+        layer, cfg.transformer.n_layers, norm=final
+    ).eval()
 
     def t(x):
         return torch.from_numpy(np.asarray(x, dtype=np.float32))
@@ -61,6 +68,9 @@ def export_to_torch(model: OutfitXModel, params) -> nn.Module:
             tl.norm1.bias.copy_(t(lp["ln1"]["bias"]))
             tl.norm2.weight.copy_(t(lp["ln2"]["scale"]))
             tl.norm2.bias.copy_(t(lp["ln2"]["bias"]))
+        if final is not None:
+            final.weight.copy_(t(params["final_ln"]["scale"]))
+            final.bias.copy_(t(params["final_ln"]["bias"]))
     return enc
 
 
@@ -134,4 +144,59 @@ class TestReferenceParity:
         got = model.cir_forward(
             params, jnp.asarray(emb), jnp.asarray(mask), jnp.asarray(text)
         )
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-3)
+
+
+class TestConfigKnobParity:
+    """activation / norm_first / final_norm are live config knobs; each
+    variant must match torch's own implementation of that variant."""
+
+    @pytest.mark.parametrize(
+        "activation,norm_first,final_norm",
+        [
+            ("relu", True, False),  # activation knob alone
+            ("gelu", False, True),  # post-LN + terminal LN together
+            ("mish", False, False),  # post-LN with the default activation
+        ],
+    )
+    def test_variant_matches_torch(self, rng, activation, norm_first, final_norm):
+        cfg = OutfitXConfig(
+            item_encoder=ItemEncoderConfig(dim_per_modality=32),
+            transformer=TransformerConfig(
+                n_heads=4,
+                d_ffn=96,
+                n_layers=2,
+                dropout=0.3,
+                activation=activation,
+                norm_first=norm_first,
+                final_norm=final_norm,
+            ),
+            max_outfit_len=8,
+            compute_dtype="float32",
+        )
+        model = OutfitXModel(cfg)
+        params = model.init(jax.random.PRNGKey(11))
+        assert ("final_ln" in params) == final_norm
+        specs = model.param_partition_specs()
+        assert ("final_ln" in specs) == final_norm
+        enc = export_to_torch(model, params)
+
+        d = cfg.d_embed
+        b, l = 5, 8
+        emb = rng.standard_normal((b, l, d)).astype(np.float32)
+        lengths = rng.integers(1, l + 1, size=b)
+        mask = np.arange(l)[None, :] >= lengths[:, None]
+        tok = np.asarray(params["outfit_token"], dtype=np.float32)
+        x = np.concatenate([np.broadcast_to(tok, (b, 1, d)), emb], axis=1)
+        full_mask = np.concatenate([np.zeros((b, 1), bool), mask], axis=1)
+        with torch.no_grad():
+            states = enc(
+                torch.from_numpy(x),
+                src_key_padding_mask=torch.from_numpy(full_mask),
+            ).numpy()
+        w = np.asarray(params["cp_head"]["w"], dtype=np.float32)
+        bias = np.asarray(params["cp_head"]["b"], dtype=np.float32)
+        want = (states[:, 0] @ w + bias)[:, 0]
+
+        got = model.cp_forward(params, jnp.asarray(emb), jnp.asarray(mask))
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-3)

@@ -50,6 +50,48 @@ def test_keep_mask_rate_and_scale(monkeypatch):
     assert abs(float(jnp.mean(keep)) - 0.7) < 0.005
 
 
+def test_keep_mask_tiny_and_extreme_rates(monkeypatch):
+    """Rates whose uint8 threshold would wrap (t>=256) or degenerate (t<=0)
+    must fall through to exact bernoulli — regression for the all-dropped
+    silent-zeroing bug at rates in (0, 1/512)."""
+    from outfitx_tpu.core.rng import keep_mask
+
+    key = jax.random.PRNGKey(0)
+    monkeypatch.delenv("OUTFITX_DROPOUT_BITS", raising=False)
+    # tiny nonzero rate: nearly everything must be KEPT, and q matches rate
+    keep, q = keep_mask(key, 1e-3, (200_000,))
+    assert q == 1.0 - 1e-3
+    assert float(jnp.mean(keep)) > 0.99
+    # rate ~1: nearly everything dropped, q tiny but correct (no wrap to keep-all)
+    keep, q = keep_mask(key, 1.0 - 1e-3, (200_000,))
+    assert abs(q - 1e-3) < 1e-12
+    assert float(jnp.mean(keep)) < 0.01
+    # rate 0 exactly: keep everything
+    keep, q = keep_mask(key, 0.0, (1024,))
+    assert q == 1.0
+    assert bool(jnp.all(keep))
+
+
+def test_apply_env_flags_respects_opt_out(monkeypatch):
+    """OUTFITX_FAST_PRNG=0 must NOT flip the global default impl to rbg."""
+    import jax as _jax
+
+    from outfitx_tpu.core import runtime
+
+    calls = []
+    monkeypatch.setattr(runtime, "enable_fast_prng", lambda: calls.append(1))
+    monkeypatch.setenv("OUTFITX_FAST_PRNG", "0")
+    runtime.apply_env_flags()
+    assert calls == []
+    monkeypatch.setenv("OUTFITX_FAST_PRNG", "1")
+    runtime.apply_env_flags()
+    assert calls == [1]
+    monkeypatch.delenv("OUTFITX_FAST_PRNG", raising=False)
+    runtime.apply_env_flags()
+    assert calls == [1]
+    del _jax
+
+
 def test_keep_mask_deterministic_per_key():
     from outfitx_tpu.core.rng import keep_mask
 

@@ -73,6 +73,35 @@ class TestCIRTraining:
         assert t.ckpt.exists("best_recall@1")
         self.__class__.cir_ckpt = str(t.ckpt.path("best_recall@1"))
 
+    def test_valid_epoch_runs_one_eval_sweep(self, synth, model_cfg, workdir):
+        """valid_epoch shares ONE `_predict_targets` sweep between loss and
+        recall (the eval forward used to run twice on recall epochs)."""
+        cfg = CIRTrainConfig(
+            n_epochs=1,
+            batch_size=64,
+            accumulation_steps=1,
+            mesh=MeshConfig(data=4, model=1),
+            switch_to_hard_epoch=0,  # recall path always active
+            recall_every=1,
+            candidate_pool_size=128,
+            checkpoint_dir=str(workdir / "ckpt_sweep"),
+            log_dir=str(workdir / "logs_sweep"),
+        )
+        with CIRTrainer(
+            cfg,
+            model_cfg,
+            catalog=synth.catalog,
+            train_split=synth.cir_train,
+            valid_split=synth.cir_valid,
+            pool_threshold=1,
+        ) as t:
+            calls = []
+            orig = t._predict_targets
+            t._predict_targets = lambda: (calls.append(1), orig())[1]
+            metrics = t.valid_epoch(epoch=0)
+        assert "recall@1" in metrics and "loss" in metrics
+        assert len(calls) == 1, f"eval forward ran {len(calls)}x per epoch"
+
     def test_fitb_from_cir_checkpoint(self, synth, model_cfg, workdir):
         cfg = FITBTrainConfig(
             checkpoint_dir=str(workdir / "ckpt"),
