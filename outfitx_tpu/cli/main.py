@@ -49,7 +49,10 @@ _common = [
     click.option("--checkpoint-dir", default="checkpoints"),
     click.option("--epochs", type=int, default=None),
     click.option("--batch-size", type=int, default=None),
+    click.option("--accum", type=int, default=None,
+                 help="gradient-accumulation steps"),
     click.option("--lr", type=float, default=None),
+    click.option("--log-dir", default=None, help="metrics/log output dir"),
     click.option("--mesh-data", type=int, default=-1),
     click.option("--mesh-model", type=int, default=1),
     click.option("--encoder", type=click.Choice(["siglip", "clip", "resnet_sbert"]), default="siglip"),
@@ -80,6 +83,10 @@ def _build_cfg(cls, kw, **extra):
         overrides["n_epochs"] = kw["epochs"]
     if kw["batch_size"] is not None:
         overrides["batch_size"] = kw["batch_size"]
+    if kw.get("accum") is not None:
+        overrides["accumulation_steps"] = kw["accum"]
+    if kw.get("log_dir") is not None:
+        overrides["log_dir"] = kw["log_dir"]
     cfg = cls(**overrides)
     if kw["lr"] is not None:
         cfg = dataclasses.replace(

@@ -76,3 +76,48 @@ def retrieve_quantized(
     from outfitx_tpu.ops.retrieval import topk_smallest
 
     return topk_smallest(d2, k, approx=approx)
+
+
+def retrieve_quantized_chunked(
+    queries: jax.Array, catalog: QuantizedCatalog, k: int,
+    *, chunk_size: int = 65_536, approx: bool = False
+):
+    """Top-k against the int8 catalog with the pool streamed in chunks.
+
+    The multi-million-item serving case `chunk_threshold` exists for:
+    int8 rows cut HBM traffic 4x AND the (Q, N) distance matrix is never
+    materialized — a `lax.scan` over int8 chunks keeps a running (Q, k)
+    best set (exact incumbent merge; see ops/retrieval._chunked_topk_scan).
+    Returns (dists2 (Q, k), global indices (Q, k)).
+    """
+    from outfitx_tpu.ops.retrieval import _chunked_topk_scan
+
+    n, d = catalog.values.shape
+    n_chunks = -(-n // chunk_size)
+    pad_n = n_chunks * chunk_size
+    values, scales, sq_norms = catalog.values, catalog.scales, catalog.sq_norms
+    if pad_n != n:
+        values = jnp.pad(values, ((0, pad_n - n), (0, 0)))
+        scales = jnp.pad(scales, (0, pad_n - n))
+        sq_norms = jnp.pad(sq_norms, (0, pad_n - n))
+    v_chunks = values.reshape(n_chunks, chunk_size, d)
+    s_chunks = scales.reshape(n_chunks, chunk_size)
+    n_chunks_arr = sq_norms.reshape(n_chunks, chunk_size)
+
+    q = queries.astype(jnp.float32)
+    q2 = jnp.sum(q * q, axis=-1, keepdims=True)
+
+    def chunk_dists(xs):
+        vals, scl, nrm = xs
+        cross = jnp.dot(
+            q, vals.T.astype(jnp.float32), preferred_element_type=jnp.float32
+        ) * scl[None, :]
+        return jnp.maximum(q2 + nrm[None, :] - 2.0 * cross, 0.0)
+
+    init, body, starts = _chunked_topk_scan(
+        q, k, n, chunk_size, n_chunks, chunk_dists, approx=approx
+    )
+    (best_d, best_i), _ = jax.lax.scan(
+        body, init, (v_chunks, s_chunks, n_chunks_arr, starts)
+    )
+    return best_d, best_i

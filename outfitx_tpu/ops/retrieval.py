@@ -56,44 +56,69 @@ def retrieve(queries, pool, k: int, *, approx: bool = False):
     return topk_smallest(d2, k, approx=approx)
 
 
-def retrieve_chunked(queries, pool, k: int, *, chunk_size: int = 65_536):
+def _chunked_topk_scan(q, k, n, chunk_size, n_chunks, chunk_dists, *, approx):
+    """Shared streaming-top-k skeleton: `lax.scan` over pool chunks keeps a
+    running (Q, k) best set. ``chunk_dists(chunk_xs) -> (Q, chunk)`` squared
+    distances for one chunk (dense or quantized).
+
+    With ``approx`` the *within-chunk* reduction uses the TPU-native
+    ``approx_max_k`` (recall_target 0.99 per chunk) and the merge with the
+    incumbents stays EXACT (top_k over 2k entries is free) — the incumbents
+    can never be dropped by approximation, so overall recall matches the
+    single-chunk approx path instead of decaying with chunk count.
+    """
+    big = jnp.float32(3.4e38)
+    kk = min(k, n)
+
+    def body(carry, xs):
+        best_d, best_i = carry
+        start = xs[-1]
+        d2 = chunk_dists(xs[:-1])
+        # padded pool rows (beyond n) must never win
+        idx = start + jnp.arange(chunk_size)
+        d2 = jnp.where((idx < n)[None, :], d2, big)
+        c_d, c_pos = topk_smallest(d2, min(kk, chunk_size), approx=approx)
+        c_i = jnp.take(idx, c_pos)
+        cat_d = jnp.concatenate([best_d, c_d], axis=1)
+        cat_i = jnp.concatenate([best_i, c_i], axis=1)
+        neg, pos = jax.lax.top_k(-cat_d, kk)  # exact merge, <= 2k entries
+        return (-neg, jnp.take_along_axis(cat_i, pos, axis=1)), None
+
+    init = (
+        jnp.full((q.shape[0], kk), big, dtype=jnp.float32),
+        jnp.zeros((q.shape[0], kk), dtype=jnp.int32),
+    )
+    starts = jnp.arange(n_chunks) * chunk_size
+    return init, body, starts
+
+
+def retrieve_chunked(
+    queries, pool, k: int, *, chunk_size: int = 65_536, approx: bool = False
+):
     """Top-k retrieval with the pool streamed in chunks.
 
     For catalogs where the full (Q, N) distance matrix would not fit
     (millions of items), a `lax.scan` over pool chunks keeps a running
-    (Q, k) best set: per chunk compute distances, concatenate with the
-    incumbents, re-top-k. Peak memory is Q x (k + chunk) instead of Q x N.
+    (Q, k) best set. Peak memory is Q x (k + chunk) instead of Q x N.
+    ``approx`` applies the serving-path approximate within-chunk top-k
+    (see _chunked_topk_scan for the recall argument).
     Returns (dists2 (Q, k), global indices (Q, k)).
     """
     n, d = pool.shape
-    k = min(k, n)
     n_chunks = -(-n // chunk_size)
     pad_n = n_chunks * chunk_size
     if pad_n != n:
         pool = jnp.pad(pool, ((0, pad_n - n), (0, 0)))
     chunks = pool.reshape(n_chunks, chunk_size, d)
     q = queries.astype(jnp.float32)
-    big = jnp.float32(3.4e38)
 
-    def body(carry, xs):
-        best_d, best_i = carry
-        chunk, start = xs
-        d2 = pairwise_l2(q, chunk, squared=True)
-        # padded pool rows (beyond n) must never win
-        idx = start + jnp.arange(chunk_size)
-        d2 = jnp.where((idx < n)[None, :], d2, big)
-        cat_d = jnp.concatenate([best_d, d2], axis=1)
-        cat_i = jnp.concatenate(
-            [best_i, jnp.broadcast_to(idx[None, :], d2.shape)], axis=1
-        )
-        neg, pos = jax.lax.top_k(-cat_d, k)
-        return (-neg, jnp.take_along_axis(cat_i, pos, axis=1)), None
+    def chunk_dists(xs):
+        (chunk,) = xs
+        return pairwise_l2(q, chunk, squared=True)
 
-    init = (
-        jnp.full((q.shape[0], k), big, dtype=jnp.float32),
-        jnp.zeros((q.shape[0], k), dtype=jnp.int32),
+    init, body, starts = _chunked_topk_scan(
+        q, k, n, chunk_size, n_chunks, chunk_dists, approx=approx
     )
-    starts = jnp.arange(n_chunks) * chunk_size
     (best_d, best_i), _ = jax.lax.scan(body, init, (chunks, starts))
     return best_d, best_i
 

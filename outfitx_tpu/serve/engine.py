@@ -65,12 +65,30 @@ class ServingEngine:
         if not self.mock:
             self._build_task_programs()
             if self.warmup:
-                # Trigger jit compiles at startup so the first HTTP request
-                # doesn't stall for minutes behind XLA compilation.
-                ids = self.sample_outfit(2)
-                self.cp_score(ids)
-                if self.cir_params is not None:
-                    self.cir_top10(ids[:1], ids[1])
+                self._warmup()
+
+    def _warmup(self):
+        """Compile EVERY jitted task program at startup so no first HTTP
+        request stalls behind XLA compilation (1-7 min per program through
+        a remote compile service): cp single + smallest batch bucket, BOTH
+        CIR routes (whole-catalog and pool), fitb, similar."""
+        ids = self.sample_outfit(4)
+        self.cp_score(ids)
+        self.cp_score_batch([ids[:2], ids[2:]])  # smallest bucket (2)
+        if self.cir_params is not None:
+            rows, mask = self._pad(ids[:1])
+            trow = np.int32(self.lookup_row(ids[1]))
+            self._cir_task(  # whole-catalog route
+                self.cir_params, self.catalog_dev, self._qcat, rows, mask, trow
+            )
+            if self.pools is not None and self.pools.pools:
+                pool_rows = next(iter(self.pools.pools.values()))
+                self._cir_pool_task(
+                    self.cir_params, self.catalog_dev, rows, mask, trow,
+                    np.asarray(pool_rows, dtype=np.int32),
+                )
+            self.fitb_pick(ids[:3], ids[:4])
+        self.similar_items(ids[0])
 
     def _build_task_programs(self):
         """One jitted program per task, taking catalog ROW INDICES.
@@ -86,7 +104,7 @@ class ServingEngine:
         d = self.catalog.d_embed
         approx = self.approx_topk
         quantized = self._qcat is not None
-        chunked = (not quantized) and n > self.chunk_threshold
+        chunked = n > self.chunk_threshold
         model = self.model
 
         def cir_query(p, cat, rows, mask, target_row):
@@ -95,13 +113,25 @@ class ServingEngine:
             return model.cir_forward(p, emb, mask, text)
 
         def catalog_topk(y, cat, qcat, k):
+            """Whole-catalog route matrix: {dense, int8} x {materialized,
+            chunked} x {exact, approx}. Static per engine config, baked in
+            at trace time."""
+            if quantized and chunked:
+                from outfitx_tpu.ops.quantization import (
+                    retrieve_quantized_chunked,
+                )
+
+                return retrieve_quantized_chunked(
+                    y, qcat, k, chunk_size=self.chunk_threshold, approx=approx
+                )
             if quantized:
                 from outfitx_tpu.ops.quantization import retrieve_quantized
 
                 return retrieve_quantized(y, qcat, k, approx=approx)
             if chunked:
                 return retrieve_chunked(
-                    y, cat[:n], k, chunk_size=self.chunk_threshold
+                    y, cat[:n], k, chunk_size=self.chunk_threshold,
+                    approx=approx,
                 )
             return retrieve(y, cat[:n], k=k, approx=approx)
 

@@ -26,6 +26,30 @@ def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+def migrate_legacy_attn(params):
+    """Stack pre-fusion per-projection attention params into the fused
+    layout (wq/wk/wv -> wqkv (L, d, 3, d); bq/bk/bv -> bqkv (L, 3, d)).
+
+    Checkpoints written before the QKV fusion (best_auc chains, CP->CIR
+    warm starts) carry the legacy pytree; this converts in place at
+    restore time so they keep loading. Returns True if a conversion
+    happened."""
+    attn = (
+        params.get("layers", {}).get("attn")
+        if isinstance(params, dict)
+        else None
+    )
+    if not isinstance(attn, dict) or "wq" not in attn or "wqkv" in attn:
+        return False
+    attn["wqkv"] = np.stack(
+        [np.asarray(attn.pop(k)) for k in ("wq", "wk", "wv")], axis=2
+    )
+    attn["bqkv"] = np.stack(
+        [np.asarray(attn.pop(k)) for k in ("bq", "bk", "bv")], axis=1
+    )
+    return True
+
+
 class CheckpointManager:
     def __init__(self, root: str | pathlib.Path, model_name: str):
         self.dir = pathlib.Path(root).absolute() / model_name
@@ -79,13 +103,14 @@ class CheckpointManager:
         path = pathlib.Path(tag_or_path)
         if not path.exists():
             path = self.path(str(tag_or_path))
-        if template is not None:
+        probe = self._ckpt.restore(path)
+        legacy = migrate_legacy_attn(probe.get("params", {}))
+        if template is not None and not legacy:
             import jax
 
             saved_keys = set()
             # restore only the subtrees that were saved
             item = {}
-            probe = self._ckpt.restore(path)
             for k in template:
                 if k in probe:
                     item[k] = jax.tree.map(lambda x: x, template[k])
@@ -95,7 +120,12 @@ class CheckpointManager:
                 if k not in payload:
                     payload[k] = probe[k]
         else:
-            payload = self._ckpt.restore(path)
+            # legacy (pre-QKV-fusion) checkpoints: the raw tree was already
+            # migrated above; a template item-restore would reject the old
+            # layout. Params-only consumers (warm starts, chains, serving)
+            # work; full optimizer resume across the fusion does not
+            # (opt_state shapes changed) — see MIGRATION.md.
+            payload = probe
         meta_path = path / "meta.json"
         meta = {}
         if meta_path.exists():

@@ -53,3 +53,42 @@ def test_memory_is_quarter(rng):
     x = jnp.asarray(rng.standard_normal((1000, 256)).astype(np.float32))
     qc = quantize_catalog(x)
     assert qc.values.size == x.size  # int8: 1 byte/element vs 4
+
+
+def test_quantized_chunked_matches_dense_quantized(rng):
+    """Streaming int8 retrieval == materialized int8 retrieval, including a
+    ragged final chunk (n not divisible by chunk_size) whose padded rows
+    must never win."""
+    from outfitx_tpu.ops.quantization import retrieve_quantized_chunked
+
+    n, d, q, k = 777, 64, 8, 10  # 777 = 3 chunks of 256 + ragged 9
+    pool = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    qc = quantize_catalog(jnp.asarray(pool))
+    d_ref, i_ref = retrieve_quantized(jnp.asarray(queries), qc, k)
+    for approx in (False, True):  # approx falls back to exact on CPU
+        d_chk, i_chk = retrieve_quantized_chunked(
+            jnp.asarray(queries), qc, k, chunk_size=256, approx=approx
+        )
+        np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_chk))
+        np.testing.assert_allclose(
+            np.asarray(d_ref), np.asarray(d_chk), rtol=1e-5, atol=1e-5
+        )
+    assert int(np.asarray(i_chk).max()) < n
+
+
+def test_chunked_dense_approx_matches_exact(rng):
+    """retrieve_chunked honors approx (exact merge keeps incumbents)."""
+    from outfitx_tpu.ops.retrieval import retrieve_chunked
+
+    n, d, q, k = 500, 32, 4, 7
+    pool = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    d_ref, i_ref = retrieve(jnp.asarray(queries), jnp.asarray(pool), k)
+    d_chk, i_chk = retrieve_chunked(
+        jnp.asarray(queries), jnp.asarray(pool), k, chunk_size=128, approx=True
+    )
+    np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_chk))
+    np.testing.assert_allclose(
+        np.asarray(d_ref), np.asarray(d_chk), rtol=1e-5, atol=1e-5
+    )

@@ -106,3 +106,47 @@ def test_resume_preserves_best_metric_state(tmp_path):
         )
         assert json.loads(meta_path.read_text())["epoch"] == 100
         t2.run()
+
+
+def test_legacy_unfused_checkpoint_restores(tmp_path):
+    """Checkpoints saved before the QKV fusion (per-projection wq/wk/wv)
+    must keep restoring: the manager stacks them into wqkv/bqkv at restore
+    time and the forward matches the fused original exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from outfitx_tpu.core.config import ItemEncoderConfig, TransformerConfig
+    from outfitx_tpu.models import OutfitXModel
+    from outfitx_tpu.train.checkpoint import CheckpointManager
+
+    cfg = OutfitXConfig(
+        item_encoder=ItemEncoderConfig(dim_per_modality=16),
+        transformer=TransformerConfig(n_heads=4, d_ffn=64, n_layers=2, dropout=0.0),
+        max_outfit_len=8,
+        compute_dtype="float32",
+    )
+    model = OutfitXModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+
+    # rewrite the attn subtree in the legacy (pre-fusion) layout
+    legacy = jax.tree.map(np.asarray, params)
+    attn = legacy["layers"]["attn"]
+    wqkv = attn.pop("wqkv")  # (L, d, 3, d)
+    bqkv = attn.pop("bqkv")  # (L, 3, d)
+    for j, (w, b) in enumerate(zip("qkv", "qkv")):
+        attn[f"w{w}"] = wqkv[:, :, j, :]
+        attn[f"b{b}"] = bqkv[:, j, :]
+
+    mgr = CheckpointManager(tmp_path, "legacy")
+    mgr.save("old", params=legacy, epoch=3)
+    payload = mgr.restore("old", template={"params": params})
+    restored = payload["params"]
+    assert "wqkv" in restored["layers"]["attn"]
+    assert "wq" not in restored["layers"]["attn"]
+
+    rng = np.random.default_rng(0)
+    emb = jnp.asarray(rng.standard_normal((4, 8, cfg.d_embed)), jnp.float32)
+    mask = jnp.zeros((4, 8), bool)
+    a = model.cp_forward(params, emb, mask)
+    b = model.cp_forward(restored, emb, mask)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

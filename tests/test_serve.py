@@ -133,6 +133,82 @@ class TestRetrievalRouting:
         b = chunked.cir_top10(outfit, target)
         assert [x["item_id"] for x in a] == [x["item_id"] for x in b]
 
+    @pytest.mark.parametrize("quantized", [False, True])
+    @pytest.mark.parametrize("chunk_threshold", [262_144, 100])
+    @pytest.mark.parametrize("approx", [False, True])
+    def test_route_matrix(self, model_cfg, quantized, chunk_threshold, approx):
+        """Full {dense, int8} x {materialized, chunked} x {exact, approx}
+        matrix: every combination must return the same neighbours as its
+        dtype's exact dense baseline (approx_max_k and the chunked exact
+        merge are lossless on the CPU test backend)."""
+        baseline = self._engine(model_cfg, quantized=quantized)
+        eng = self._engine(
+            model_cfg,
+            quantized=quantized,
+            chunk_threshold=chunk_threshold,
+            approx_topk=approx,
+        )
+        item = baseline.sample_outfit(1)[0]
+        a = baseline.similar_items(item, k=5)
+        b = eng.similar_items(item, k=5)
+        assert [x["item_id"] for x in a] == [x["item_id"] for x in b]
+        import numpy as np
+
+        np.testing.assert_allclose(
+            [x["score"] for x in a], [x["score"] for x in b], rtol=1e-5,
+            atol=1e-5,
+        )
+
+
+class TestWarmup:
+    """Startup warmup must compile EVERY task program: a first request after
+    init must not trigger a fresh trace/compile (1-7 min per program behind
+    a remote compile service)."""
+
+    _PROGRAMS = (
+        "_cp_task", "_cir_task", "_cir_pool_task", "_fitb_task", "_sim_task"
+    )
+
+    def _cache_sizes(self, eng):
+        return {n: getattr(eng, n)._cache_size() for n in self._PROGRAMS}
+
+    def _make(self, model_cfg, with_pools):
+        import jax
+
+        from outfitx_tpu.data.sampler import CandidatePools
+        from outfitx_tpu.models import OutfitXModel
+
+        data = make_synthetic(n_items=300, d_embed=32, n_outfits=64, seed=5)
+        params = OutfitXModel(model_cfg).init(jax.random.PRNGKey(0))
+        pools = (
+            CandidatePools.build(
+                data.catalog, data.cir_valid, pool_size=64, threshold=1, seed=0
+            )
+            if with_pools
+            else None
+        )
+        return ServingEngine(
+            model_cfg=model_cfg,
+            catalog=data.catalog,
+            cp_params=params,
+            cir_params=params,
+            pools=pools,
+        )
+
+    @pytest.mark.parametrize("with_pools", [False, True])
+    def test_no_recompile_after_warmup(self, model_cfg, with_pools):
+        eng = self._make(model_cfg, with_pools)
+        before = self._cache_sizes(eng)
+        assert all(v >= 1 for n, v in before.items() if n != "_cir_pool_task"), before
+        ids = eng.sample_outfit(4)
+        eng.cp_score(ids)
+        eng.cp_score_batch([ids[:2], ids[2:]])  # smallest (warmed) bucket
+        eng.cir_top10(ids[:3], ids[3])
+        eng.fitb_pick(ids[:3], ids[:4])
+        eng.similar_items(ids[0])
+        after = self._cache_sizes(eng)
+        assert after == before, f"retrace after warmup: {before} -> {after}"
+
 
 class TestImages:
     @pytest.fixture(scope="class")
