@@ -106,13 +106,23 @@ def apply_encoder(
     # saving it exists for. Kept as an opt-in escape hatch for longer
     # sequences; default is the XLA einsum formulation.
     attn_impl = "auto"
-    if (
-        pad_mask is None
-        and not causal
-        and s > 32
-        and os.environ.get("OUTFITX_TOWER_FLASH", "0") == "1"
-    ):
-        attn_impl = "flash"
+    if not causal and s > 32:
+        # Default ('auto', masked_mha): the padded Pallas kernel for L>128
+        # (ViT-B/16 S=197 measured 1.18x vs XLA), XLA einsum below (the
+        # 128-lane padding overhead loses at L=50/64). OUTFITX_TOWER_ATTN
+        # overrides the formulation:
+        #   xla    — einsum attention; scores materialize in HBM
+        #   pallas — the fused VMEM-score kernel at any tower length
+        #            (handles key-padding masks natively; causal stays XLA)
+        #   flash  — stock TPU flash kernel (measured 0.77x at ViT-B
+        #            scale; kept for longer sequences); unmasked only.
+        choice = os.environ.get("OUTFITX_TOWER_ATTN", "")
+        if not choice and os.environ.get("OUTFITX_TOWER_FLASH", "0") == "1":
+            choice = "flash"  # back-compat alias
+        if choice == "xla" or choice == "pallas" or (
+            choice == "flash" and pad_mask is None
+        ):
+            attn_impl = choice
     if pad_mask is None:
         pad_mask = jnp.zeros((b, s), dtype=bool)
 

@@ -51,7 +51,10 @@ def _mha_reference(q, k, v, pad_mask, causal: bool = False):
 
 
 def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
-    # Blocks: q/k/v (TB, 1, L, Dh); mask (TB, L).
+    # Blocks: q/k/v (TB, 1, L, Dh); mask (TB, 1, L) — the singleton middle
+    # axis keeps the mask block's trailing dims (1, L) legal for any TB
+    # (Pallas requires trailing block dims (8k, 128k) OR equal to the
+    # array dims; small batch tiles at lane-aligned L need the latter).
     # Matmul operands stay in the input dtype (bf16 on the training path —
     # the MXU's native rate; f32 operands would run at ~1/4 throughput);
     # accumulation and softmax are f32.
@@ -65,7 +68,7 @@ def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) * (1.0 / (dh**0.5))  # (TB, L, L) f32
-    mask = mask_ref[:][:, None, :]  # (TB, 1, L) key mask
+    mask = mask_ref[:]  # (TB, 1, L) key mask
     scores = jnp.where(mask, _NEG, scores)
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores)
@@ -82,12 +85,12 @@ def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
 def _tile_cap(l: int) -> int:
     # The per-program batched dot_general unrolls over the batch tile; keep
     # tile_b * l bounded or the Mosaic compiler blows up (empirically:
-    # (64, l=50) crashes, (8, l=50) and (64, l=17) compile fine).
+    # (64, l=50) crashes, (8, l=50), (8, l=256) and (64, l=17) compile
+    # fine; (8, l=256) also measured marginally faster than (4, l=256) on
+    # the ViT-B/16 tower).
     if l <= 32:
         return 64
-    if l <= 128:
-        return 8
-    return 4
+    return 8
 
 
 def _pad_batch(q, k, v, pad_mask, tile_b):
@@ -120,13 +123,14 @@ def _mha_pallas_impl(q, k, v, pad_mask):
             qkv_spec,
             qkv_spec,
             pl.BlockSpec(
-                (tile_b, l), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+                (tile_b, 1, l), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct((pad_b, h, l, dh), q.dtype),
         interpret=use_interpret(),
-    )(q, k, v, pad_mask)
+    )(q, k, v, pad_mask[:, None, :])
     return out[:b]
 
 
@@ -149,7 +153,7 @@ def _mha_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, dq_ref, dk_ref, dv_ref
         )
 
     scores = bdot(q, k, ((2,), (2,))) * scale  # (TB, L, L) f32
-    mask = mask_ref[:][:, None, :]  # (TB, 1, L) key mask
+    mask = mask_ref[:]  # (TB, 1, L) key mask
     scores = jnp.where(mask, _NEG, scores)
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores)
@@ -194,14 +198,15 @@ def _mha_bwd_pallas_impl(q, k, v, pad_mask, g):
             qkv_spec,
             qkv_spec,
             pl.BlockSpec(
-                (tile_b, l), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+                (tile_b, 1, l), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             qkv_spec,
         ],
         out_specs=[qkv_spec, qkv_spec, qkv_spec],
         out_shape=[shape, shape, shape],
         interpret=use_interpret(),
-    )(q, k, v, pad_mask, g)
+    )(q, k, v, pad_mask[:, None, :], g)
     return dq[:b], dk[:b], dv[:b]
 
 
@@ -267,6 +272,29 @@ def _mha_flash_nomask(q, k, v):
     return out[:, :, :l]
 
 
+def _mha_pallas_padded(q, k, v, pad_mask):
+    """The L<=32 set-attention kernel applied at tower sequence lengths
+    (L=50 ViT-B/32, 197 ViT-B/16): pad L up to a 128 lane multiple, mask
+    the geometric padding as extra PAD KEYS (exact — padded keys get score
+    -inf; padded query rows compute garbage and are sliced away, and their
+    cotangents are zero so dk/dv stay exact through the custom VJP).
+
+    Keeps the whole (TB, Lp, Lp) score block VMEM-resident per
+    (batch-tile, head) program — the technique that won at L=17 — instead
+    of XLA materializing (B*H, L, L) scores in HBM (the measured #1 loss of
+    the ViT tower, BENCHMARKS.md precompute bisection)."""
+    b, h, l, dh = q.shape
+    lp = round_up(l, 128)
+    if lp != l:
+        pad = ((0, 0), (0, 0), (0, lp - l), (0, 0))
+        q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
+        pad_mask = jnp.pad(
+            pad_mask, ((0, 0), (0, lp - l)), constant_values=True
+        )
+    out = _mha_pallas(q, k, v, pad_mask)
+    return out[:, :, :l]
+
+
 def masked_mha(q, k, v, pad_mask, *, causal: bool = False, impl: str = "auto"):
     """Multi-head attention with key-padding mask (True = pad) and optional
     causal masking (text towers).
@@ -274,12 +302,18 @@ def masked_mha(q, k, v, pad_mask, *, causal: bool = False, impl: str = "auto"):
     q, k, v: (B, H, L, Dh); pad_mask: (B, L) bool. Returns (B, H, L, Dh).
     """
     if impl == "auto":
-        # Pallas wins for the tiny-L set attention it is specialized for
-        # (+22% end-to-end at L=17 on v5e); at tower sequence lengths
-        # (L=50 ViT-B/32, 197 ViT-B/16, 64-77 text) XLA's einsum attention
-        # is used unless the caller opts into 'flash' (structurally safe
-        # only when there is no semantic key mask — see apply_encoder).
-        use_pallas = jax.default_backend() == "tpu" and q.shape[2] <= 32
+        # Pallas wins where it was measured to win on v5e:
+        # - tiny-L set attention (+22% end-to-end at L=17);
+        # - long tower sequences L>128 via the padded kernel (ViT-B/16
+        #   S=197->256: vision tower 1177 -> 995 ms/2048-batch, 1.18x —
+        #   VMEM-resident scores beat XLA's HBM score materialization).
+        # In between (L=50 ViT-B/32, 64-77 text) the 128-lane padding
+        # multiplies score FLOPs faster than the traffic saving pays
+        # (text L=64 via pallas measured 356 vs 322 ms) — XLA einsum stays.
+        l = q.shape[2]
+        use_pallas = jax.default_backend() == "tpu" and (
+            l <= 32 or (l > 128 and not causal)
+        )
         impl = "pallas" if use_pallas else "xla"
     if impl == "flash":
         # Caller guarantees pad_mask is all-False and not causal; the stock
@@ -288,5 +322,7 @@ def masked_mha(q, k, v, pad_mask, *, causal: bool = False, impl: str = "auto"):
             return _mha_flash_nomask(q, k, v)
         impl = "xla"
     if impl == "pallas" and not causal:
+        if q.shape[2] > 32:
+            return _mha_pallas_padded(q, k, v, pad_mask)
         return _mha_pallas(q, k, v, pad_mask)
     return _mha_reference(q, k, v, pad_mask, causal=causal)

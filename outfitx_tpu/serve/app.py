@@ -7,6 +7,9 @@ FITB pick) exposed both as a minimal HTML UI and a JSON API:
 
     GET  /                 HTML UI
     GET  /api/sample?n=4   random outfit from the catalog
+    GET  /api/sample_cp?n=4    sampled CP test rows: gt label vs predicted prob
+    GET  /api/sample_cir?n=4   sampled CIR rows: partial outfit, gt, top-10
+    GET  /api/sample_fitb?n=4  sampled FITB rows: gt answer vs predicted pick
     GET  /api/similar?item_id=N  nearest catalog neighbours of an item
     POST /api/cp           {"outfit": [ids]}               -> {"score"}
     POST /api/cp_batch     {"outfits": [[ids], ...]}       -> {"scores"}
@@ -24,7 +27,12 @@ _HTML = """<!doctype html>
 <html><head><title>OutfitX-TPU demo</title>
 <style>body{font-family:sans-serif;max-width:720px;margin:2em auto}
 textarea{width:100%}pre{background:#f4f4f4;padding:1em}
-#imgs img{margin:2px;border:1px solid #ccc}</style></head>
+#imgs img{margin:2px;border:1px solid #ccc}
+.row{border:1px solid #ddd;margin:6px 0;padding:6px;border-radius:6px}
+.chip{display:inline-block;background:#eee;border-radius:4px;margin:1px;
+padding:2px 6px;font-size:12px}
+.ok{color:#0a0}.bad{color:#c00}
+.gt{outline:3px solid #0a0}.pick{outline:3px solid #c90}</style></head>
 <body>
 <h1>OutfitX-TPU demo</h1>
 <p>Tasks: compatibility score (CP), complementary-item retrieval (CIR),
@@ -36,6 +44,11 @@ fill-in-the-blank (FITB). Enter item ids comma-separated.
 <button onclick="cir()">retrieve top-10</button>
 <h3>FITB</h3>candidates: <input id="cands" size="40">
 <button onclick="fitb()">pick</button>
+<h3>Browse test samples (ground truth vs prediction)</h3>
+<button onclick="browse('cp')">CP samples</button>
+<button onclick="browse('cir')">CIR samples</button>
+<button onclick="browse('fitb')">FITB samples</button>
+<div id="samples"></div>
 <h3>Result</h3><div id="imgs"></div><pre id="out"></pre>
 <script>
 const out = (x) => {
@@ -58,6 +71,35 @@ async function post(path, body) {
 async function sample() {
   const r = await fetch('/api/sample?n=4'); const j = await r.json();
   document.getElementById('outfit').value = j.outfit.join(', '); out(j);
+}
+const itemHtml = (it, cls) => it.image_url
+  ? `<img class="${cls||''}" src="${it.image_url}" width="72"
+       title="#${it.item_id} ${it.description}">`
+  : `<span class="chip ${cls||''}">#${it.item_id}</span>`;
+async function browse(task) {
+  const r = await fetch(`/api/sample_${task}?n=4`); const j = await r.json();
+  const div = document.getElementById('samples');
+  if (!j.samples) { div.textContent = j.error || 'unavailable'; return; }
+  div.innerHTML = j.samples.map(s => {
+    if (task === 'cp')
+      return `<div class="row"><b class="${(s.prob>0.5)==(s.label==1)?'ok':'bad'}">
+        gt ${s.label} / prob ${s.prob.toFixed(3)}</b><br>
+        ${s.items.map(i => itemHtml(i)).join('')}</div>`;
+    if (task === 'cir')
+      return `<div class="row"><b class="${s.gt_in_top10?'ok':'bad'}">
+        gt ${s.gt_in_top10?'IN':'NOT in'} top-10</b><br>
+        partial: ${s.partial_outfit.map(i => itemHtml(i)).join('')}<br>
+        gt: ${itemHtml(s.gt_item,'gt')}
+        retrieved: ${s.retrieved.map(i =>
+          itemHtml(i, i.item_id===s.gt_item.item_id?'gt':'')).join('')}</div>`;
+    return `<div class="row"><b class="${s.correct?'ok':'bad'}">
+      ${s.correct?'correct':'wrong'} (gt ${s.answer_index}, picked
+      ${s.predicted_index})</b><br>
+      question: ${s.partial_outfit.map(i => itemHtml(i)).join('')}<br>
+      candidates: ${s.candidates.map((c,k) => itemHtml(c,
+        k===s.answer_index?'gt':(k===s.predicted_index?'pick':''))).join('')}
+      </div>`;
+  }).join('');
 }
 const cp = () => post('/api/cp', {outfit: ids()});
 const cir = () => post('/api/cir', {outfit: ids(),
@@ -92,6 +134,21 @@ def make_handler(engine):
                         n = int(self.path.split("n=")[1].split("&")[0])
                     except ValueError:
                         pass
+                n = max(1, min(n, 32))
+                route = self.path.split("?")[0]
+                try:
+                    if route == "/api/sample_cp":
+                        return self._send(200, {"samples": engine.sample_cp(n)})
+                    if route == "/api/sample_cir":
+                        return self._send(
+                            200, {"samples": engine.sample_cir(n)}
+                        )
+                    if route == "/api/sample_fitb":
+                        return self._send(
+                            200, {"samples": engine.sample_fitb(n)}
+                        )
+                except ValueError as e:  # split not loaded
+                    return self._send(404, {"error": str(e)})
                 return self._send(200, {"outfit": engine.sample_outfit(n)})
             if self.path.startswith("/api/similar"):
                 try:
@@ -202,6 +259,7 @@ def build_engine(
 
     model_cfg = model_cfg or OutfitXConfig()
     pools = None
+    cp_split = cir_split = fitb_split = None
     if synthetic:
         from outfitx_tpu.data.synthetic import make_synthetic
 
@@ -215,23 +273,42 @@ def build_engine(
         pools = CandidatePools.build(
             catalog, data.cir_valid, pool_size=1000, threshold=1
         )
+        cp_split, cir_split, fitb_split = (
+            data.cp_valid, data.cir_valid, data.fitb_test,
+        )
     else:
         catalog = Catalog.from_polyvore(
             dataset_dir, model_name=model_cfg.model_name
         )
+        from outfitx_tpu.data.splits import CPSplit, FITBSplit, OutfitSplit
+
         try:
             # per-category retrieval pools from the test split (reference
             # demo serves CIR against the CIR dataset's candidate pools,
             # app.py:169-201)
-            from outfitx_tpu.data.splits import OutfitSplit
-
-            test_split = OutfitSplit.load(
+            cir_split = OutfitSplit.load(
                 catalog, dataset_dir, "nondisjoint", "test",
                 model_cfg.max_outfit_len,
             )
-            pools = CandidatePools.build(catalog, test_split)
+            pools = CandidatePools.build(catalog, cir_split)
         except FileNotFoundError:
             pools = None  # whole-catalog retrieval fallback
+        # test-split rows for the sample-browsing views; each view degrades
+        # independently when its split file is absent
+        try:
+            cp_split = CPSplit.load(
+                catalog, dataset_dir, "nondisjoint", "test",
+                model_cfg.max_outfit_len,
+            )
+        except FileNotFoundError:
+            pass
+        try:
+            fitb_split = FITBSplit.load(
+                catalog, dataset_dir, "nondisjoint", "test",
+                model_cfg.max_outfit_len,
+            )
+        except FileNotFoundError:
+            pass
     cp_params = cir_params = None
     if not mock:
         model = OutfitXModel(model_cfg)
@@ -261,6 +338,9 @@ def build_engine(
         # ~0.995 at 2.3x lower latency); --exact-topk restores lax.top_k
         approx_topk=not exact_topk,
         images_dir=str(images_dir) if images_dir.is_dir() else None,
+        cp_split=cp_split,
+        cir_split=cir_split,
+        fitb_split=fitb_split,
     )
 
 

@@ -145,6 +145,9 @@ def main() -> None:
     ap.add_argument("--accum", type=int, default=1)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--switch-epoch", type=int, default=8)  # cir curriculum
+    # the CIR dataloaders hardcode persistent_workers=True, which torch
+    # rejects at num_workers=0 — CIR needs at least 1 worker
+    ap.add_argument("--workers", type=int, default=0)
     ap.add_argument(
         "--mode", default=None, help="run mode (default train-valid; fitb=test)"
     )
@@ -165,12 +168,26 @@ def main() -> None:
     install_stubs(args.metrics_out)
     sys.path.insert(0, "/root/reference")
 
+    # torch >= 2.6 defaults torch.load(weights_only=True), which rejects the
+    # reference's own checkpoints (they pickle its config dataclasses and
+    # F.mish). These are the reference's own classes from its own save path
+    # (save_checkpoint stuffs model_cfg.__dict__ in) — allowlist them.
+    import torch
+    import torch.nn.functional as F
+    from src.models.configs.item_encoder_config import ItemEncoderConfig
+    from src.models.configs.outfit_x_config import OutfitXConfig
+    from src.models.configs.transformer_config import TransformerConfig
+
+    torch.serialization.add_safe_globals(
+        [ItemEncoderConfig, OutfitXConfig, TransformerConfig, F.mish]
+    )
+
     common = dict(
         batch_size=args.batch_size,
         n_epochs=args.epochs,
         learning_rate=args.lr,
         accumulation_steps=args.accum,
-        dataloader_workers=0,  # 1 host core; in-process collate
+        dataloader_workers=args.workers,  # 1 host core; default in-process
     )
 
     if args.task == "cp":

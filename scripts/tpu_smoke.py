@@ -56,6 +56,26 @@ def main() -> int:
     got = jax.jit(lambda q, m: masked_mha(q, q, q, m, impl="pallas"))(q, mask)
     check("pallas MHA (L=17)", got, _mha_reference(q, q, q, mask), 5e-2)
 
+    # Pallas MHA BACKWARD vs the XLA recompute backward, compiled on chip
+    # (the CPU suite validates _mha_bwd_kernel only in interpret mode).
+    w = jnp.asarray(rng.standard_normal((b, h, l, dh)), dtype=jnp.float32)
+
+    def make_loss(impl):
+        def loss(q_, k_, v_):
+            o = masked_mha(q_, k_, v_, mask, impl=impl)
+            return jnp.sum(o.astype(jnp.float32) * w)
+
+        return loss
+
+    k_in = jnp.asarray(rng.standard_normal((b, h, l, dh)), dtype=jnp.bfloat16)
+    v_in = jnp.asarray(rng.standard_normal((b, h, l, dh)), dtype=jnp.bfloat16)
+    gp = jax.jit(jax.grad(make_loss("pallas"), argnums=(0, 1, 2)))(q, k_in, v_in)
+    gx = jax.jit(jax.grad(make_loss("xla"), argnums=(0, 1, 2)))(q, k_in, v_in)
+    for name, a, bb_ in zip(("dq", "dk", "dv"), gp, gx):
+        # bf16 grads over L=17 reductions: tolerance scales with magnitude
+        scale = float(jnp.max(jnp.abs(bb_.astype(jnp.float32)))) + 1e-6
+        check(f"pallas MHA backward {name} (L=17)", a, bb_, 2e-2 * scale)
+
     # Pallas LayerNorm vs XLA
     x = jnp.asarray(rng.standard_normal((1024, 1536)), dtype=jnp.float32)
     s = jnp.asarray(rng.standard_normal(1536), dtype=jnp.float32)

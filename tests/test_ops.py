@@ -299,3 +299,59 @@ def test_flash_impl_falls_back_off_tpu(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=1e-5
     )
+
+
+class TestTowerPallasAttention:
+    """The L=17-winning kernel applied at tower sequence lengths via
+    lane-multiple padding with masked geometric keys (_mha_pallas_padded):
+    forward and backward must match XLA exactly (interpret mode here; the
+    compiled path is checked by scripts/tpu_smoke.py on hardware)."""
+
+    @pytest.mark.parametrize("l", [50, 197])
+    def test_padded_forward_matches_xla(self, rng, l):
+        b, h, dh = 3, 2, 16
+        q = jnp.asarray(rng.standard_normal((b, h, l, dh)), dtype=jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, h, l, dh)), dtype=jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, h, l, dh)), dtype=jnp.float32)
+        mask = jnp.zeros((b, l), dtype=bool)  # ViT: no semantic key mask
+        got = masked_mha(q, k, v, mask, impl="pallas")
+        want = masked_mha(q, k, v, mask, impl="xla")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+        )
+
+    def test_padded_grad_matches_xla(self, rng):
+        b, h, l, dh = 2, 2, 50, 16
+        q = jnp.asarray(rng.standard_normal((b, h, l, dh)), dtype=jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, h, l, dh)), dtype=jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, h, l, dh)), dtype=jnp.float32)
+        mask = jnp.zeros((b, l), dtype=bool)
+
+        def loss(impl, *a):
+            return jnp.sum(masked_mha(*a, mask, impl=impl) ** 2)
+
+        gp = jax.grad(lambda *a: loss("pallas", *a), argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(lambda *a: loss("xla", *a), argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gp, gx):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4
+            )
+
+    def test_tower_attn_env_routes(self, rng, monkeypatch):
+        """OUTFITX_TOWER_ATTN=pallas routes ViT-shaped apply_encoder
+        attention through the padded Pallas kernel with identical numerics."""
+        from outfitx_tpu.models.towers.common import (
+            apply_encoder,
+            init_encoder_layers,
+        )
+
+        key = jax.random.PRNGKey(0)
+        layers = init_encoder_layers(key, d=32, n_heads=4, d_mlp=64, n_layers=2)
+        x = jnp.asarray(rng.standard_normal((2, 50, 32)), dtype=jnp.float32)
+        monkeypatch.delenv("OUTFITX_TOWER_ATTN", raising=False)
+        want = apply_encoder(layers, x, n_heads=4, act="quick_gelu")
+        monkeypatch.setenv("OUTFITX_TOWER_ATTN", "pallas")
+        got = apply_encoder(layers, x, n_heads=4, act="quick_gelu")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+        )

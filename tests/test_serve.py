@@ -357,3 +357,104 @@ class TestConcurrentRequests:
                 assert abs(val - expected[i]) < 1e-5
             else:
                 assert val == 5
+
+
+class TestSampleBrowsing:
+    """Dataset-sample browsing views: sampled test rows rendered with
+    ground truth vs prediction (reference demo app.py:121-232)."""
+
+    @pytest.fixture(scope="class")
+    def browse_engine(self, model_cfg):
+        import jax
+
+        from outfitx_tpu.data.sampler import CandidatePools
+        from outfitx_tpu.models import OutfitXModel
+
+        data = make_synthetic(n_items=300, d_embed=32, n_outfits=64, seed=9)
+        params = OutfitXModel(model_cfg).init(jax.random.PRNGKey(0))
+        return ServingEngine(
+            model_cfg=model_cfg,
+            catalog=data.catalog,
+            cp_params=params,
+            cir_params=params,
+            pools=CandidatePools.build(
+                data.catalog, data.cir_valid, pool_size=64, threshold=1, seed=0
+            ),
+            cp_split=data.cp_valid,
+            cir_split=data.cir_valid,
+            fitb_split=data.fitb_test,
+            warmup=False,
+        )
+
+    def test_sample_cp(self, browse_engine):
+        samples = browse_engine.sample_cp(3)
+        assert len(samples) == 3
+        for s in samples:
+            assert s["label"] in (0, 1)
+            assert 0.0 <= s["prob"] <= 1.0
+            assert s["predicted"] == int(s["prob"] > 0.5)
+            assert len(s["items"]) >= 1
+            assert all("item_id" in it for it in s["items"])
+
+    def test_sample_cir_gt_marking(self, browse_engine):
+        samples = browse_engine.sample_cir(3)
+        assert len(samples) == 3
+        for s in samples:
+            assert len(s["retrieved"]) == 10
+            gt = s["gt_item"]["item_id"]
+            # gt must not be in the partial outfit (it was popped out)
+            assert gt not in [i["item_id"] for i in s["partial_outfit"]]
+            assert s["gt_in_top10"] == any(
+                r["item_id"] == gt for r in s["retrieved"]
+            )
+
+    def test_sample_fitb_correct_flag(self, browse_engine):
+        samples = browse_engine.sample_fitb(3)
+        for s in samples:
+            assert len(s["candidates"]) == 4
+            assert 0 <= s["answer_index"] < 4
+            assert 0 <= s["predicted_index"] < 4
+            assert s["correct"] == (s["answer_index"] == s["predicted_index"])
+
+    def test_http_sample_endpoints(self, browse_engine):
+        from http.server import ThreadingHTTPServer
+
+        from outfitx_tpu.serve.app import make_handler
+
+        httpd = ThreadingHTTPServer(
+            ("127.0.0.1", 0), make_handler(browse_engine)
+        )
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            for task, key in (
+                ("cp", "prob"), ("cir", "gt_item"), ("fitb", "answer_index")
+            ):
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/api/sample_{task}?n=2"
+                ) as r:
+                    j = json.loads(r.read())
+                assert len(j["samples"]) == 2
+                assert key in j["samples"][0]
+        finally:
+            httpd.shutdown()
+
+    def test_sample_views_404_without_splits(self, engine):
+        from http.server import ThreadingHTTPServer
+
+        from outfitx_tpu.serve.app import make_handler
+
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(engine))
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/api/sample_cp?n=2"
+            )
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        finally:
+            httpd.shutdown()
