@@ -129,6 +129,7 @@ def main() -> None:
     # Phase B: force a FRESH compile in a scratch cache dir to sample
     # today's remote codegen (skippable: OUTFITX_BENCH_FRESH=0).
     value, spread, source = value_a, spread_a, "pinned" if pin_hit else "fresh"
+    phases = {source: round(value_a, 1)}
     if os.environ.get("OUTFITX_BENCH_FRESH", "1") != "0" and pin_hit:
         scratch = pathlib.Path(tempfile.mkdtemp(prefix="bench_fresh_"))
         jax.config.update("jax_compilation_cache_dir", str(scratch))
@@ -140,6 +141,7 @@ def main() -> None:
 
             chained_fresh.__name__ = "chained"
             value_b, spread_b = measure(jax.jit(chained_fresh))
+            phases["fresh"] = round(value_b, 1)
             if value_b > value_a:
                 value, spread, source = value_b, spread_b, "fresh"
                 _update_pin(scratch.glob(PIN_GLOB))
@@ -161,6 +163,7 @@ def main() -> None:
                 ),
                 "window_spread": spread,
                 "executable": source,
+                "phases": phases,
             }
         )
     )
