@@ -85,12 +85,12 @@ def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
 def _tile_cap(l: int) -> int:
     # The per-program batched dot_general unrolls over the batch tile; keep
     # tile_b * l bounded or the Mosaic compiler blows up (empirically:
-    # (64, l=50) crashes, (8, l=50), (8, l=256) and (64, l=17) compile
-    # fine; (8, l=256) also measured marginally faster than (4, l=256) on
-    # the ViT-B/16 tower).
+    # (64, l=50) crashes; (8/16, l=256), (8, l=50) and (64, l=17) compile
+    # fine). ViT-B/16 tower measurements: tile 4 -> 1004 ms, 8 -> 994,
+    # 16 -> 987 per 2048-batch; 16 is the default cap above L=32.
     if l <= 32:
         return 64
-    return 8
+    return 16
 
 
 def _pad_batch(q, k, v, pad_mask, tile_b):
