@@ -123,6 +123,9 @@ def apply_encoder(
             choice == "flash" and pad_mask is None
         ):
             attn_impl = choice
+    # OUTFITX_TOWER_MLP=pallas: fused MLP kernel (VMEM-resident mid tensor,
+    # ops/mlp.py) — benchmark opt-in.
+    mlp_impl = os.environ.get("OUTFITX_TOWER_MLP", "xla")
     if pad_mask is None:
         pad_mask = jnp.zeros((b, s), dtype=bool)
 
@@ -145,7 +148,16 @@ def apply_encoder(
         o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
         h = h + linear(lp["attn"]["o"], o)
         y = layer_norm(h, lp["ln2"]["scale"], lp["ln2"]["bias"], eps=ln_eps)
-        h = h + linear(lp["mlp"]["fc2"], act_fn(linear(lp["mlp"]["fc1"], y)))
+        if mlp_impl == "pallas":
+            from outfitx_tpu.ops.mlp import mlp_fused
+
+            m = lp["mlp"]
+            h = h + mlp_fused(
+                y, m["fc1"]["w"], m["fc1"]["b"], m["fc2"]["w"], m["fc2"]["b"],
+                act=act,
+            )
+        else:
+            h = h + linear(lp["mlp"]["fc2"], act_fn(linear(lp["mlp"]["fc1"], y)))
         return h, None
 
     x, _ = jax.lax.scan(block, x, layers)

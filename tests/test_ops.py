@@ -355,3 +355,46 @@ class TestTowerPallasAttention:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
         )
+
+
+class TestFusedMLP:
+    """ops/mlp.mlp_fused vs the XLA fc1 -> act -> fc2 chain."""
+
+    @pytest.mark.parametrize("act", ["quick_gelu", "gelu_tanh"])
+    def test_matches_xla(self, rng, act):
+        from outfitx_tpu.ops.mlp import mlp_fused
+
+        d, dm = 32, 128
+        x = jnp.asarray(rng.standard_normal((3, 50, d)), dtype=jnp.float32)
+        w1 = jnp.asarray(rng.standard_normal((d, dm)) * 0.1, jnp.float32)
+        b1 = jnp.asarray(rng.standard_normal(dm) * 0.1, jnp.float32)
+        w2 = jnp.asarray(rng.standard_normal((dm, d)) * 0.1, jnp.float32)
+        b2 = jnp.asarray(rng.standard_normal(d) * 0.1, jnp.float32)
+
+        got = mlp_fused(x, w1, b1, w2, b2, act=act, tile_rows=64)
+        if act == "quick_gelu":
+            mid = x @ w1 + b1
+            want = (mid * jax.nn.sigmoid(1.702 * mid)) @ w2 + b2
+        else:
+            want = jax.nn.gelu(x @ w1 + b1, approximate=True) @ w2 + b2
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4
+        )
+
+    def test_env_routes_apply_encoder(self, rng, monkeypatch):
+        from outfitx_tpu.models.towers.common import (
+            apply_encoder,
+            init_encoder_layers,
+        )
+
+        layers = init_encoder_layers(
+            jax.random.PRNGKey(0), d=32, n_heads=4, d_mlp=64, n_layers=2
+        )
+        x = jnp.asarray(rng.standard_normal((2, 50, 32)), dtype=jnp.float32)
+        monkeypatch.delenv("OUTFITX_TOWER_MLP", raising=False)
+        want = apply_encoder(layers, x, n_heads=4, act="quick_gelu")
+        monkeypatch.setenv("OUTFITX_TOWER_MLP", "pallas")
+        got = apply_encoder(layers, x, n_heads=4, act="quick_gelu")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4
+        )
