@@ -85,11 +85,13 @@ def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
 def _tile_cap(l: int) -> int:
     # The per-program batched dot_general unrolls over the batch tile; keep
     # tile_b * l bounded or the Mosaic compiler blows up (empirically:
-    # (64, l=50) crashes; (8/16, l=256), (8, l=50) and (64, l=17) compile
-    # fine). ViT-B/16 tower measurements: tile 4 -> 1004 ms, 8 -> 994,
-    # 16 -> 987 per 2048-batch; 16 is the default cap above L=32.
+    # (64, l=50) crashes; (8/16, l=256), (8, l=50), (128, l=17) compile
+    # fine). Measurements: ViT-B/16 tower tile 4 -> 1004 ms, 8 -> 994,
+    # 16 -> 987 per 2048-batch; flagship L=17 forward core tile 32 ->
+    # 7.55 ms, 64 -> 7.09, 128 -> 6.87 (and +0.6% on the end-to-end CP
+    # forward) under the 2026-08-17 compiler-service codegen.
     if l <= 32:
-        return 64
+        return 128
     return 16
 
 
@@ -177,10 +179,13 @@ def _mha_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, dq_ref, dk_ref, dv_ref
 
 def _mha_bwd_pallas_impl(q, k, v, pad_mask, g):
     b, h, l, dh = q.shape
-    # Same tile cap as the forward: despite five in-program matmuls (vs the
-    # forward's two) the full 64-row tile compiles and measures marginally
-    # faster than a halved one at L=17 (override: OUTFITX_MHA_BWD_TILE).
-    cap = int(os.environ.get("OUTFITX_MHA_BWD_TILE", "0")) or _tile_cap(l)
+    # Backward keeps its own measured cap (64 at L<=32): with five
+    # in-program matmuls the VMEM/unroll pressure differs from the
+    # forward's two, and 64 is the validated-fastest backward tile
+    # (override: OUTFITX_MHA_BWD_TILE).
+    cap = int(os.environ.get("OUTFITX_MHA_BWD_TILE", "0")) or (
+        64 if l <= 32 else _tile_cap(l)
+    )
     tile_b = max(1, min(cap, b))
     q, k, v, pad_mask, pad_b = _pad_batch(q, k, v, pad_mask, tile_b)
     if pad_b != b:
