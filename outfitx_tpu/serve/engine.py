@@ -313,6 +313,9 @@ class ServingEngine:
         """Nearest catalog neighbours of an item by embedding L2 (serving
         convenience beyond the reference demo)."""
         row = self.lookup_row(item_id)
+        if self.mock:  # model-free UI smoke: random neighbours
+            rows = self._rng.choice(self.catalog.n_items, k, replace=False)
+            return [self._item_info(int(r), 1.0) for r in rows]
         d2, idx = self._sim_task(
             self.catalog_dev, self._qcat, np.int32(row), k + 1
         )

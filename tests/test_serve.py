@@ -76,6 +76,11 @@ class TestEngine:
         eng = ServingEngine(model_cfg=model_cfg, catalog=data.catalog, mock=True)
         assert 0.0 <= eng.cp_score(eng.sample_outfit(3)) <= 1.0
         assert len(eng.cir_top10(eng.sample_outfit(3), eng.sample_outfit(1)[0])) == 10
+        # every public surface must be model-free in mock mode (the UI
+        # exposes them all; no jitted task programs exist here)
+        assert len(eng.similar_items(eng.sample_outfit(1)[0], k=5)) == 5
+        assert 0 <= eng.fitb_pick(eng.sample_outfit(3), eng.sample_outfit(4)) < 4
+        assert eng.cp_score_batch([eng.sample_outfit(2)])
 
 
 class TestRetrievalRouting:
