@@ -104,13 +104,15 @@ def apply_encoder(
     # ViT-B/16 scale on v5e — 1537 vs 1177 ms/2048-batch (0.77x): at
     # S=256/Dh=64 the kernel's per-program overheads beat the HBM-traffic
     # saving it exists for. Kept as an opt-in escape hatch for longer
-    # sequences; default is the XLA einsum formulation.
+    # sequences; default is the custom Pallas routing below.
     attn_impl = "auto"
     if not causal and s > 32:
         # Default ('auto', masked_mha): the padded Pallas kernel for L>128
-        # (ViT-B/16 S=197 measured 1.18x vs XLA), XLA einsum below (the
-        # 128-lane padding overhead loses at L=50/64). OUTFITX_TOWER_ATTN
-        # overrides the formulation:
+        # (ViT-B/16 S=197 measured 1.18x vs XLA), the DIRECT kernel for
+        # 32<L<=128 (text L=64 and ViT-B/32 S=50 both measured 1.33x —
+        # no geometric pad, so none of the score-FLOP inflation that made
+        # the padded route lose here). OUTFITX_TOWER_ATTN overrides the
+        # formulation:
         #   xla    — einsum attention; scores materialize in HBM
         #   pallas — the fused VMEM-score kernel at any tower length
         #            (handles key-padding masks natively; causal stays XLA)

@@ -311,13 +311,17 @@ def masked_mha(q, k, v, pad_mask, *, causal: bool = False, impl: str = "auto"):
         # - tiny-L set attention (+22% end-to-end at L=17);
         # - long tower sequences L>128 via the padded kernel (ViT-B/16
         #   S=197->256: vision tower 1177 -> 995 ms/2048-batch, 1.18x —
-        #   VMEM-resident scores beat XLA's HBM score materialization).
-        # In between (L=50 ViT-B/32, 64-77 text) the 128-lane padding
-        # multiplies score FLOPs faster than the traffic saving pays
-        # (text L=64 via pallas measured 356 vs 322 ms) — XLA einsum stays.
+        #   VMEM-resident scores beat XLA's HBM score materialization);
+        # - 32 < L <= 128 non-causal via the DIRECT kernel (blocks equal
+        #   to the array dims need no geometric pad): text tower L=64
+        #   measured 322 -> 241 ms/2048-batch, 1.33x. (The earlier
+        #   "text loses" result — 356 vs 322 ms — was the EXPLICIT
+        #   128-pad route whose 4x score-FLOP inflation the direct
+        #   kernel avoids.)
+        # Causal (CLIP text) stays XLA: the kernel has no causal mask.
         l = q.shape[2]
         use_pallas = jax.default_backend() == "tpu" and (
-            l <= 32 or (l > 128 and not causal)
+            l <= 32 or not causal
         )
         impl = "pallas" if use_pallas else "xla"
     if impl == "flash":
@@ -327,7 +331,12 @@ def masked_mha(q, k, v, pad_mask, *, causal: bool = False, impl: str = "auto"):
             return _mha_flash_nomask(q, k, v)
         impl = "xla"
     if impl == "pallas" and not causal:
-        if q.shape[2] > 32:
+        # Blocks equal to the array dims are legal at ANY l (Mosaic pads
+        # lanes internally), so geometric 128-padding is only needed when
+        # l would otherwise exceed the in-kernel unroll bound — measured
+        # at l>128. For 32 < l <= 128 (text towers L=64, ViT-B/32 S=50)
+        # the direct kernel skips the explicit pad's score-FLOP inflation.
+        if q.shape[2] > 128:
             return _mha_pallas_padded(q, k, v, pad_mask)
         return _mha_pallas(q, k, v, pad_mask)
     return _mha_reference(q, k, v, pad_mask, causal=causal)

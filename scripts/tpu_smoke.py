@@ -76,6 +76,31 @@ def main() -> int:
         scale = float(jnp.max(jnp.abs(bb_.astype(jnp.float32)))) + 1e-6
         check(f"pallas MHA backward {name} (L=17)", a, bb_, 2e-2 * scale)
 
+    # Direct (unpadded) kernel at tower band 32 < L <= 128 (text L=64 with
+    # a real key-padding mask; ViT-B/32 S=50 unmasked) and the padded
+    # kernel at L=197 — compiled Mosaic vs XLA on chip.
+    for lt, masked in ((64, True), (50, False), (197, False)):
+        bt, ht, dht = 64, 12, 64
+        qt = jnp.asarray(
+            rng.standard_normal((bt, ht, lt, dht)), dtype=jnp.bfloat16
+        )
+        mt = (
+            jnp.asarray(
+                np.arange(lt)[None, :] >= rng.integers(5, lt + 1, size=(bt, 1))
+            )
+            if masked
+            else jnp.zeros((bt, lt), dtype=bool)
+        )
+        got = jax.jit(lambda q, m: masked_mha(q, q, q, m, impl="pallas"))(
+            qt, mt
+        )
+        check(
+            f"pallas tower MHA (L={lt}{', masked' if masked else ''})",
+            got,
+            _mha_reference(qt, qt, qt, mt),
+            5e-2,
+        )
+
     # Pallas LayerNorm vs XLA
     x = jnp.asarray(rng.standard_normal((1024, 1536)), dtype=jnp.float32)
     s = jnp.asarray(rng.standard_normal(1536), dtype=jnp.float32)

@@ -320,6 +320,22 @@ class TestTowerPallasAttention:
             np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
         )
 
+    def test_direct_kernel_text_shape_with_pad_mask(self, rng):
+        """32 < l <= 128 routes the DIRECT (unpadded) kernel under
+        impl='pallas'; real key-padding masks (text towers, L=64) must be
+        honored exactly."""
+        b, h, l, dh = 4, 2, 64, 16
+        q = jnp.asarray(rng.standard_normal((b, h, l, dh)), dtype=jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, h, l, dh)), dtype=jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, h, l, dh)), dtype=jnp.float32)
+        lengths = rng.integers(5, l + 1, size=(b, 1))
+        mask = jnp.asarray(np.arange(l)[None, :] >= lengths)
+        got = masked_mha(q, k, v, mask, impl="pallas")
+        want = masked_mha(q, k, v, mask, impl="xla")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+        )
+
     def test_padded_grad_matches_xla(self, rng):
         b, h, l, dh = 2, 2, 50, 16
         q = jnp.asarray(rng.standard_normal((b, h, l, dh)), dtype=jnp.float32)
