@@ -332,11 +332,15 @@ def masked_mha(q, k, v, pad_mask, *, causal: bool = False, impl: str = "auto"):
         impl = "xla"
     if impl == "pallas" and not causal:
         # Blocks equal to the array dims are legal at ANY l (Mosaic pads
-        # lanes internally), so geometric 128-padding is only needed when
-        # l would otherwise exceed the in-kernel unroll bound — measured
-        # at l>128. For 32 < l <= 128 (text towers L=64, ViT-B/32 S=50)
-        # the direct kernel skips the explicit pad's score-FLOP inflation.
-        if q.shape[2] > 128:
+        # lanes internally), so the explicit geometric 128-pad (and its
+        # score-FLOP inflation) is only applied above a threshold. Direct
+        # measured: text L=64 and ViT-B/32 S=50 1.33x vs XLA; ViT-B/16
+        # S=197 756 vs 988 ms (padded) vs 1177 (XLA) = 1.56x. Default
+        # threshold 256 = the largest per-program (tile 16) extent Mosaic
+        # is known to compile (BENCHMARKS.md tower-attention study);
+        # OUTFITX_MHA_DIRECT_MAX overrides.
+        direct_max = int(os.environ.get("OUTFITX_MHA_DIRECT_MAX", "256"))
+        if q.shape[2] > direct_max:
             return _mha_pallas_padded(q, k, v, pad_mask)
         return _mha_pallas(q, k, v, pad_mask)
     return _mha_reference(q, k, v, pad_mask, causal=causal)

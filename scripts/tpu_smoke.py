@@ -76,9 +76,26 @@ def main() -> int:
         scale = float(jnp.max(jnp.abs(bb_.astype(jnp.float32)))) + 1e-6
         check(f"pallas MHA backward {name} (L=17)", a, bb_, 2e-2 * scale)
 
-    # Direct (unpadded) kernel at tower band 32 < L <= 128 (text L=64 with
-    # a real key-padding mask; ViT-B/32 S=50 unmasked) and the padded
-    # kernel at L=197 — compiled Mosaic vs XLA on chip.
+    # Direct (unpadded) kernel at tower lengths (text L=64 with a real
+    # key-padding mask; ViT-B/32 S=50; ViT-B/16 S=197) and the padded
+    # kernel (forced via the threshold env) — compiled Mosaic vs XLA.
+    os.environ["OUTFITX_MHA_DIRECT_MAX"] = "128"  # route L=197 padded
+    for lt, masked in ((197, False),):
+        bt, ht, dht = 64, 12, 64
+        qt = jnp.asarray(
+            rng.standard_normal((bt, ht, lt, dht)), dtype=jnp.bfloat16
+        )
+        mt = jnp.zeros((bt, lt), dtype=bool)
+        got = jax.jit(lambda q, m: masked_mha(q, q, q, m, impl="pallas"))(
+            qt, mt
+        )
+        check(
+            f"pallas tower MHA padded (L={lt})",
+            got,
+            _mha_reference(qt, qt, qt, mt),
+            5e-2,
+        )
+    del os.environ["OUTFITX_MHA_DIRECT_MAX"]  # default: direct to L=256
     for lt, masked in ((64, True), (50, False), (197, False)):
         bt, ht, dht = 64, 12, 64
         qt = jnp.asarray(
