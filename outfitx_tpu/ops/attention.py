@@ -83,13 +83,15 @@ def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
 
 
 def _tile_cap(l: int) -> int:
-    # The per-program batched dot_general unrolls over the batch tile; keep
-    # tile_b * l bounded or the Mosaic compiler blows up (empirically:
-    # (64, l=50) crashes; (8/16, l=256), (8, l=50), (128, l=17) compile
-    # fine). Measurements: ViT-B/16 tower tile 4 -> 1004 ms, 8 -> 994,
-    # 16 -> 987 per 2048-batch; flagship L=17 forward core tile 32 ->
-    # 7.55 ms, 64 -> 7.09, 128 -> 6.87 (and +0.6% on the end-to-end CP
-    # forward) under the 2026-08-17 compiler-service codegen.
+    # Per-program block memory is bounded by the 16 MB scoped-VMEM stack
+    # (a tile-32 program at l=196 needs 23.65 MB and fails to compile —
+    # this, not dot_general unroll, is the real (tile_b, l) ceiling; e.g.
+    # (64, l=50) fails, (8/16, l=256), (128, l=17) fit). Measurements:
+    # ViT-B/16 tower (padded kernel) tile 4 -> 1004 ms, 8 -> 994, 16 ->
+    # 987 per 2048-batch; direct kernel at S=196: 8 -> 764, 16 -> 756;
+    # flagship L=17 forward core tile 32 -> 7.55 ms, 64 -> 7.09, 128 ->
+    # 6.87, 256 -> 6.96, 512 -> compile fail (and +0.6% on the
+    # end-to-end CP forward at 128) under the 2026-08-17 codegen.
     if l <= 32:
         return 128
     return 16
