@@ -269,7 +269,12 @@ def pes(output_dir, weights, **kw):
     "--exact-topk", is_flag=True,
     help="exact lax.top_k retrieval (default: TPU-native approx, ~0.995 recall, 2.3x faster)",
 )
-def demo(port, synthetic, mock, quantized, exact_topk):
+@click.option(
+    "--coalesce-ms", type=float, default=None,
+    help="coalesce concurrent /api/cp requests into one fused device "
+    "program within this window (serve/coalesce.py)",
+)
+def demo(port, synthetic, mock, quantized, exact_topk, coalesce_ms):
     """Serving demo (reference src/demo/app.py, port 6006)."""
     from outfitx_tpu.serve.app import build_engine, serve
 
@@ -277,7 +282,7 @@ def demo(port, synthetic, mock, quantized, exact_topk):
         synthetic=synthetic, mock=mock, quantized=quantized,
         exact_topk=exact_topk,
     )
-    serve(port=port, engine=engine, mock=mock)
+    serve(port=port, engine=engine, mock=mock, coalesce_ms=coalesce_ms)
 
 
 def main() -> None:

@@ -12,6 +12,8 @@ FITB pick) exposed both as a minimal HTML UI and a JSON API:
     GET  /api/sample_fitb?n=4  sampled FITB rows: gt answer vs predicted pick
     GET  /api/similar?item_id=N  nearest catalog neighbours of an item
     POST /api/cp           {"outfit": [ids]}               -> {"score"}
+                           (serve(coalesce_ms=...) batches concurrent
+                           /api/cp calls into one device program)
     POST /api/cp_batch     {"outfits": [[ids], ...]}       -> {"scores"}
     POST /api/cir          {"outfit": [ids], "target": id} -> {"items": [...]}
     POST /api/fitb         {"outfit": [ids], "candidates": [ids]} -> {"pick"}
@@ -110,7 +112,10 @@ const fitb = () => post('/api/fitb', {outfit: ids(),
 </script></body></html>"""
 
 
-def make_handler(engine):
+def make_handler(engine, cp_scorer=None):
+    """cp_scorer: optional CoalescingCPScorer — /api/cp then shares one
+    fused device program across concurrent requests (serve/coalesce.py)."""
+
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload, content_type="application/json"):
             body = (
@@ -189,9 +194,12 @@ def make_handler(engine):
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
                 if self.path == "/api/cp":
-                    return self._send(
-                        200, {"score": engine.cp_score(req["outfit"])}
+                    score = (
+                        cp_scorer.score(req["outfit"])
+                        if cp_scorer is not None
+                        else engine.cp_score(req["outfit"])
                     )
+                    return self._send(200, {"score": score})
                 if self.path == "/api/cp_batch":
                     return self._send(
                         200,
@@ -351,9 +359,17 @@ def serve(
     mock: bool = False,
     engine=None,
     poll: Optional[float] = None,
+    coalesce_ms: Optional[float] = None,
 ):
     engine = engine or build_engine(synthetic=synthetic, mock=mock)
-    httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(engine))
+    cp_scorer = None
+    if coalesce_ms:
+        from outfitx_tpu.serve.coalesce import CoalescingCPScorer
+
+        cp_scorer = CoalescingCPScorer(engine, window_ms=coalesce_ms)
+    httpd = ThreadingHTTPServer(
+        ("0.0.0.0", port), make_handler(engine, cp_scorer)
+    )
     print(f"OutfitX-TPU demo on http://0.0.0.0:{port} (mock={mock})")
     try:
         httpd.serve_forever(poll_interval=poll or 0.5)
@@ -361,3 +377,5 @@ def serve(
         pass
     finally:
         httpd.server_close()
+        if cp_scorer is not None:
+            cp_scorer.close()

@@ -364,6 +364,59 @@ class TestConcurrentRequests:
                 assert val == 5
 
 
+class TestCoalescingScorer:
+    """Dynamic request coalescing (serve/coalesce.py): concurrent cp_score
+    calls share one fused cp_score_batch program."""
+
+    def test_concurrent_scores_match_and_coalesce(self, engine):
+        import concurrent.futures
+
+        from outfitx_tpu.serve.coalesce import CoalescingCPScorer
+
+        outfits = [engine.sample_outfit(n % 4 + 2) for n in range(24)]
+        expected = [engine.cp_score(o) for o in outfits]
+        scorer = CoalescingCPScorer(engine, window_ms=25.0)
+        try:
+            with concurrent.futures.ThreadPoolExecutor(max_workers=12) as ex:
+                got = list(ex.map(scorer.score, outfits))
+            for g, e in zip(got, expected):
+                assert abs(g - e) < 1e-5
+            # 24 requests from 12 threads within a 25 ms window must share
+            # batches — strictly fewer fused calls than requests.
+            assert 1 <= scorer.batch_calls < 24
+        finally:
+            scorer.close()
+
+    def test_bad_id_rejected_without_poisoning_batch(self, engine):
+        import concurrent.futures
+
+        import pytest as _pytest
+
+        from outfitx_tpu.serve.coalesce import CoalescingCPScorer
+        from outfitx_tpu.serve.engine import UnknownItemError
+
+        good = engine.sample_outfit(3)
+        scorer = CoalescingCPScorer(engine, window_ms=25.0)
+        try:
+            with concurrent.futures.ThreadPoolExecutor(max_workers=2) as ex:
+                ok = ex.submit(scorer.score, good)
+                with _pytest.raises(UnknownItemError):
+                    scorer.score([good[0], 10**9])  # unknown id
+                assert abs(ok.result() - engine.cp_score(good)) < 1e-5
+        finally:
+            scorer.close()
+
+    def test_close_is_idempotent_and_unblocks(self, engine):
+        from outfitx_tpu.serve.coalesce import CoalescingCPScorer
+
+        scorer = CoalescingCPScorer(engine, window_ms=1.0)
+        assert scorer.score(engine.sample_outfit(2)) >= 0.0
+        scorer.close()
+        scorer.close()
+        with pytest.raises(RuntimeError):
+            scorer.score(engine.sample_outfit(2))
+
+
 class TestSampleBrowsing:
     """Dataset-sample browsing views: sampled test rows rendered with
     ground truth vs prediction (reference demo app.py:121-232)."""
