@@ -406,6 +406,44 @@ class TestCoalescingScorer:
         finally:
             scorer.close()
 
+    def test_http_cp_route_uses_coalescer(self, engine):
+        """make_handler(engine, cp_scorer): /api/cp rides the coalescer;
+        every other route is unaffected."""
+        import concurrent.futures
+        import urllib.request
+        from http.server import ThreadingHTTPServer
+
+        from outfitx_tpu.serve.app import make_handler
+        from outfitx_tpu.serve.coalesce import CoalescingCPScorer
+
+        scorer = CoalescingCPScorer(engine, window_ms=25.0)
+        httpd = ThreadingHTTPServer(
+            ("127.0.0.1", 0), make_handler(engine, scorer)
+        )
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            outfits = [engine.sample_outfit(3) for _ in range(8)]
+
+            def post(o):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/api/cp",
+                    data=json.dumps({"outfit": o}).encode(),
+                    method="POST",
+                )
+                with urllib.request.urlopen(req) as r:
+                    return json.loads(r.read())["score"]
+
+            with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+                got = list(ex.map(post, outfits))
+            for g, o in zip(got, outfits):
+                assert abs(g - engine.cp_score(o)) < 1e-5
+            assert 1 <= scorer.batch_calls < 8
+        finally:
+            httpd.shutdown()
+            scorer.close()
+
     def test_close_is_idempotent_and_unblocks(self, engine):
         from outfitx_tpu.serve.coalesce import CoalescingCPScorer
 
