@@ -285,6 +285,23 @@ def demo(port, synthetic, mock, quantized, exact_topk, coalesce_ms):
     serve(port=port, engine=engine, mock=mock, coalesce_ms=coalesce_ms)
 
 
+@cli.command("export-torch")
+@click.option("--params", "params_path", required=True,
+              help="orbax checkpoint dir (e.g. checkpoints/<run>/best_auc)")
+@click.option("--out", "out_path", required=True,
+              help=".pth output in the reference's checkpoint format")
+def export_torch(params_path, out_path):
+    """Export trained params to the reference system's .pth format.
+
+    The reference's own trainers/demo load the result via
+    load_checkpoint(only_load_model=True) — train here, evaluate/serve
+    there (validated bit-for-bit in PARITY.md §6)."""
+    from outfitx_tpu.models.export_torch import export_reference_checkpoint
+
+    out = export_reference_checkpoint(params_path, out_path)
+    click.echo(json.dumps({"exported": str(out)}))
+
+
 def main() -> None:
     cli()
 

@@ -23,39 +23,19 @@ from scripts.h2h_reference import install_stubs  # noqa: E402
 
 
 def fill_state_dict(module, params) -> None:
-    """Load our fused-pytree params into the reference OutfitX module
-    (layout map mirrors tests/test_reference_parity.export_to_torch)."""
-    import jax
-    import numpy as np
-    import torch
+    """Load our params into the reference OutfitX module via the product
+    exporter's state_dict (outfitx_tpu/models/export_torch.py) —
+    strict=True against the REAL reference module is the layout check."""
+    from outfitx_tpu.models.export_torch import reference_state_dict
 
-    def t(x):
-        return torch.from_numpy(np.asarray(x, dtype=np.float32))
-
-    L = params["layers"]
-    with torch.no_grad():
-        for i, tl in enumerate(module.transformer_encoder.layers):
-            lp = jax.tree.map(lambda x: x[i], L)
-            a = lp["attn"]
-            tl.self_attn.in_proj_weight.copy_(
-                torch.cat([t(a["wqkv"][:, j]).T for j in range(3)], dim=0)
-            )
-            tl.self_attn.in_proj_bias.copy_(t(a["bqkv"]).reshape(-1))
-            tl.self_attn.out_proj.weight.copy_(t(a["wo"]).T)
-            tl.self_attn.out_proj.bias.copy_(t(a["bo"]))
-            tl.linear1.weight.copy_(t(lp["ffn"]["w1"]).T)
-            tl.linear1.bias.copy_(t(lp["ffn"]["b1"]))
-            tl.linear2.weight.copy_(t(lp["ffn"]["w2"]).T)
-            tl.linear2.bias.copy_(t(lp["ffn"]["b2"]))
-            tl.norm1.weight.copy_(t(lp["ln1"]["scale"]))
-            tl.norm1.bias.copy_(t(lp["ln1"]["bias"]))
-            tl.norm2.weight.copy_(t(lp["ln2"]["scale"]))
-            tl.norm2.bias.copy_(t(lp["ln2"]["bias"]))
-        module.outfit_token.copy_(t(params["outfit_token"]))
-        module.target_item_image_emb.copy_(t(params["target_image_emb"]))
-        module.cp_ffn[1].weight.copy_(t(params["cp_head"]["w"]).T)
-        module.cp_ffn[1].bias.copy_(t(params["cp_head"]["b"]))
-        module.cir_ffn[0].weight.copy_(t(params["cir_proj"]["w"]).T)
+    missing, unexpected = module.load_state_dict(
+        reference_state_dict(params), strict=False
+    )
+    # the reference module also carries the frozen item-encoder towers;
+    # everything the exporter emits must land, nothing else may be missing
+    # from the transformer/head surface
+    assert not unexpected, unexpected
+    assert all(k.startswith("item_encoder") for k in missing), missing
 
 
 def main() -> None:
