@@ -29,8 +29,11 @@ class CoalescingCPScorer:
 
     window_ms: how long the collector waits for more requests after the
         first one arrives (the added worst-case latency when idle).
-    max_batch: cap per fused call — matches the engine's power-of-two
-        bucketing so one oversized burst cannot compile a fresh bucket.
+    max_batch: every fused call is padded to exactly this size (duplicate
+        of the first request, sliced away), so the coalescer compiles ONE
+        cp_score_batch bucket — warmed at construction — and no request
+        ever stalls behind a fresh remote compile (minutes, CLAUDE.md).
+        Padding is device-side batch rows: ~free next to the dispatch.
     """
 
     def __init__(self, engine, window_ms: float = 3.0, max_batch: int = 64):
@@ -40,6 +43,9 @@ class CoalescingCPScorer:
         self.batch_calls = 0  # observability + tests
         self._closed = False
         self._q: queue.Queue = queue.Queue()
+        if not engine.mock:  # compile the single bucket before serving
+            dummy = engine.sample_outfit(2)
+            engine.cp_score_batch([dummy] * max_batch)
         self._thread = threading.Thread(
             target=self._loop, name="cp-coalescer", daemon=True
         )
@@ -90,7 +96,10 @@ class CoalescingCPScorer:
                 return
             batch = self._drain(item)
             try:
-                scores = self.engine.cp_score_batch([b[0] for b in batch])
+                outfits = [b[0] for b in batch]
+                # fixed-size submission: one compiled bucket, ever
+                outfits += [outfits[0]] * (self.max_batch - len(outfits))
+                scores = self.engine.cp_score_batch(outfits)
                 self.batch_calls += 1
                 for (_, fut), s in zip(batch, scores):
                     fut.set_result(float(s))

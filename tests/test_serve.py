@@ -368,13 +368,19 @@ class TestCoalescingScorer:
     """Dynamic request coalescing (serve/coalesce.py): concurrent cp_score
     calls share one fused cp_score_batch program."""
 
-    def test_concurrent_scores_match_and_coalesce(self, engine):
+    def test_concurrent_scores_match_and_coalesce(self, engine, monkeypatch):
         import concurrent.futures
 
         from outfitx_tpu.serve.coalesce import CoalescingCPScorer
 
         outfits = [engine.sample_outfit(n % 4 + 2) for n in range(24)]
         expected = [engine.cp_score(o) for o in outfits]
+        sizes = []
+        real = engine.cp_score_batch
+        monkeypatch.setattr(
+            engine, "cp_score_batch",
+            lambda o: sizes.append(len(o)) or real(o),
+        )
         scorer = CoalescingCPScorer(engine, window_ms=25.0)
         try:
             with concurrent.futures.ThreadPoolExecutor(max_workers=12) as ex:
@@ -384,6 +390,9 @@ class TestCoalescingScorer:
             # 24 requests from 12 threads within a 25 ms window must share
             # batches — strictly fewer fused calls than requests.
             assert 1 <= scorer.batch_calls < 24
+            # fixed-size submission: every fused call (incl. the warmup)
+            # hits the single max_batch bucket -> one compile, ever
+            assert set(sizes) == {scorer.max_batch}
         finally:
             scorer.close()
 
