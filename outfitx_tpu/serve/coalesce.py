@@ -89,10 +89,24 @@ class CoalescingCPScorer:
             batch.append(item)
         return batch
 
+    def _flush_on_close(self) -> None:
+        """Fail any request that raced past the _closed check and landed
+        behind the close sentinel — nobody may block forever."""
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if item is not _CLOSE:
+                item[1].set_exception(
+                    RuntimeError("CoalescingCPScorer closed")
+                )
+
     def _loop(self) -> None:
         while True:
             item = self._q.get()
             if item is _CLOSE:
+                self._flush_on_close()
                 return
             batch = self._drain(item)
             try:
