@@ -262,4 +262,12 @@ class Trainer(abc.ABC):
             if self._mesh_ctx is not None:
                 with contextlib.suppress(Exception):
                     self._mesh_ctx.__exit__(exc_type, exc, tb)
-            logging.shutdown()
+            # Close only THIS trainer's handlers (a global logging.shutdown
+            # would leave closed handlers attached for the next in-process
+            # trainer — chained runs/tests — silently dropping its logs);
+            # removing them lets a later setup_logger re-attach fresh ones.
+            if self.logger is not None:
+                for h in list(self.logger.handlers):
+                    with contextlib.suppress(Exception):
+                        h.close()
+                    self.logger.removeHandler(h)

@@ -98,3 +98,31 @@ class TestCPTraining:
         b = run_once()
         np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-4)
         np.testing.assert_allclose(a["auc"], b["auc"], rtol=1e-4)
+
+    def test_second_inprocess_trainer_still_logs_to_file(self, synth, cfgs):
+        """Trainer exit must close only ITS OWN logger handlers: a second
+        trainer with the same model_name (chained runs, repeated tests in
+        one process) re-attaches fresh handlers and keeps writing its log
+        file — a global logging.shutdown() would silently drop them."""
+        import dataclasses
+        import pathlib
+
+        model_cfg, train_cfg = cfgs
+        cfg = dataclasses.replace(train_cfg, n_epochs=1)
+
+        def run_once():
+            with CPTrainer(
+                cfg,
+                model_cfg,
+                catalog=synth.catalog,
+                train_split=synth.cp_train,
+                valid_split=synth.cp_valid,
+            ) as t:
+                t.run()
+                return t
+
+        t1 = run_once()
+        log_file = pathlib.Path(cfg.log_dir) / f"{t1.model_name}.log"
+        size_after_first = log_file.stat().st_size
+        run_once()
+        assert log_file.stat().st_size > size_after_first
