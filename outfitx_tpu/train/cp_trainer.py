@@ -161,12 +161,20 @@ class CPTrainer(Trainer):
                 batch["item_idx"],
                 batch["mask"],
             )
+            # per-example loss so the final batch's wrap-around pad rows
+            # (eval_batches 'valid' mask) are excluded from the mean too,
+            # not only from the score metrics
             losses.append(
-                focal_loss(
-                    jnp.asarray(s),
-                    jnp.asarray(batch["label"]),
-                    alpha=self.cfg.focal_alpha,
-                    gamma=self.cfg.focal_gamma,
+                np.asarray(
+                    gather_global(
+                        focal_loss(
+                            jnp.asarray(s),
+                            jnp.asarray(batch["label"]),
+                            alpha=self.cfg.focal_alpha,
+                            gamma=self.cfg.focal_gamma,
+                            reduction="none",
+                        )
+                    )
                 )
             )
             scores_all.append(np.asarray(gather_global(s)))
@@ -178,7 +186,7 @@ class CPTrainer(Trainer):
         scores = np.concatenate(scores_all)[valid]
         labels = np.concatenate(labels_all)[valid]
         metrics = binary_classification_metrics(scores, labels, from_logits=True)
-        metrics["loss"] = float(np.mean(gather_global(losses)))
+        metrics["loss"] = float(np.mean(np.concatenate(losses)[valid]))
         return metrics
 
     def valid_epoch(self, epoch: int) -> Dict[str, float]:

@@ -99,6 +99,35 @@ class TestCPTraining:
         np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-4)
         np.testing.assert_allclose(a["auc"], b["auc"], rtol=1e-4)
 
+    def test_eval_loss_ignores_padded_rows(self, synth, cfgs):
+        """eval_batches pads the last batch by wrap-around; the reported
+        eval loss must exclude those rows exactly like the score metrics —
+        identical loss whatever the eval batch size."""
+        import dataclasses
+
+        model_cfg, train_cfg = cfgs
+        cfg = dataclasses.replace(train_cfg, n_epochs=0)
+        n_valid = len(synth.cp_valid)
+        uneven = 48  # n_valid=? guarantee a partial final batch
+        if n_valid % uneven == 0:
+            uneven += 1
+
+        def eval_once(bs):
+            with CPTrainer(
+                cfg,
+                model_cfg,
+                catalog=synth.catalog,
+                train_split=synth.cp_train,
+                valid_split=synth.cp_valid,
+                eval_batch_size=bs,
+            ) as t:
+                return t._eval_split(t._valid_split)
+
+        a = eval_once(n_valid)  # one exact batch, no padding
+        b = eval_once(uneven)  # partial final batch, padded rows
+        np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-5)
+        np.testing.assert_allclose(a["auc"], b["auc"], rtol=1e-6)
+
     def test_second_inprocess_trainer_still_logs_to_file(self, synth, cfgs):
         """Trainer exit must close only ITS OWN logger handlers: a second
         trainer with the same model_name (chained runs, repeated tests in
