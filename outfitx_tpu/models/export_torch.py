@@ -34,7 +34,9 @@ def reference_state_dict(params) -> "Dict[str, object]":
     import torch
 
     def t(x):
-        return torch.from_numpy(np.asarray(x, dtype=np.float32))
+        # np.array (copy) not np.asarray: jax arrays surface as read-only
+        # buffers, and torch.from_numpy on those is undefined behavior
+        return torch.from_numpy(np.array(x, dtype=np.float32))
 
     sd: Dict[str, object] = {}
     L = params["layers"]
