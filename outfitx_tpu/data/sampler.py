@@ -277,8 +277,15 @@ def _cir_train_batches_native(
 ) -> Iterator[Dict[str, np.ndarray]]:
     from outfitx_tpu.native import CIRAssembler
 
+    # Cache entries hold STRONG refs to (split, catalog) and re-check
+    # identity: a bare id()-key would alias after garbage collection
+    # recycles an address, silently serving an assembler built from
+    # different data.
     cache_key = (id(split), id(catalog), sample_mode, n_negatives, seed)
-    assembler = _NATIVE_ASSEMBLERS.get(cache_key)
+    cached = _NATIVE_ASSEMBLERS.get(cache_key)
+    assembler = None
+    if cached is not None and cached[0] is split and cached[1] is catalog:
+        assembler = cached[2]
     if assembler is None:
         key_col = (
             catalog.semantic_category
@@ -296,7 +303,7 @@ def _cir_train_batches_native(
             k=n_negatives,
             seed=seed,
         )
-        _NATIVE_ASSEMBLERS[cache_key] = assembler
+        _NATIVE_ASSEMBLERS[cache_key] = (split, catalog, assembler)
     n = len(split)
     order = _epoch_rng(seed, epoch, 1).permutation(n)
     super_b = batch_size * accum_steps
