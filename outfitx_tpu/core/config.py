@@ -87,6 +87,17 @@ class TransformerConfig:
     norm_first: bool = True  # False = torch post-LN residual placement
     final_norm: bool = False  # True adds a terminal LN after the stack
     # (torch nn.TransformerEncoder(norm=...)); the reference passes norm=None
+    # MXU lane alignment: >d_ffn zero-pads the FFN hidden dim to this many
+    # units at APPLY time only (params/checkpoints stay at d_ffn, so export
+    # and shared-weights parity are untouched). Numerically inert:
+    # mish(0)=0 and the padded w2 rows are zero, so outputs/grads agree to
+    # f32 accumulation order (no new nonzero terms; the pad can shift
+    # matmul tiling, ~1 ULP) and no gradient flows into the pad; the
+    # dropout mask is drawn at the real d_ffn width so training RNG
+    # streams match the unpadded model exactly.
+    # Motivation: the reference's d_ffn=2024 (transformer_config.py:16) is
+    # 15*128+104 — both FFN matmuls end in a partial MXU tile.
+    ffn_pad_to: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -175,7 +186,11 @@ class TrainConfig:
     polyvore_type: str = "nondisjoint"  # {'nondisjoint', 'disjoint'}
     checkpoint_dir: str = "checkpoints"
     log_dir: str = "logs"
-    remat: bool = False  # jax.checkpoint the encoder layers
+    # >0: save a rolling 'latest' checkpoint (params + opt_state + epoch)
+    # every N epochs so a killed multi-hour run resumes losslessly via
+    # `resume('latest')`. The reference has no equivalent (recovery is
+    # manual re-launch + load_checkpoint, SURVEY.md §5).
+    save_every_epochs: int = 0
     log_every_steps: int = 0  # >0: per-step train loss to the metrics JSONL
     # (the reference's {metric}/train/batch wandb stream)
 

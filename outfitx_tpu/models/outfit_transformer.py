@@ -175,15 +175,24 @@ class OutfitXModel:
         dh = d // h
         drop = cfg.transformer.dropout
 
-        def dropout(k, t):
+        def dropout(k, t, pad_tail: int = 0):
+            """``pad_tail``: the last ``pad_tail`` units of t's final dim are
+            apply-time zero-padding (ffn_pad_to) — the mask is drawn at the
+            REAL width so the RNG stream matches the unpadded model, then
+            extended with False (the padded entries are zero either way)."""
             if deterministic or drop == 0.0:
                 return t
-            keep, q = rng_ops.keep_mask(k, drop, t.shape)
+            shape = t.shape[:-1] + (t.shape[-1] - pad_tail,)
+            keep, q = rng_ops.keep_mask(k, drop, shape)
             # Named so the 'masks' remat policy can save the masks across
             # the checkpoint boundary instead of regenerating them in the
             # backward pass (bool masks are cheap to hold: ~266 MB/layer at
             # the B=3072 envelope vs regenerating ~1.6B draws).
             keep = checkpoint_name(keep, "dropout_mask")
+            if pad_tail:
+                keep = jnp.pad(
+                    keep, [(0, 0)] * (keep.ndim - 1) + [(0, pad_tail)]
+                )
             return jnp.where(keep, t / q, jnp.zeros_like(t))
 
         k1, k2, k3, k4 = jax.random.split(rng, 4)
@@ -221,10 +230,21 @@ class OutfitXModel:
             else x
         )
         f = lp["ffn"]
-        hmid = act(jnp.dot(y, f["w1"].astype(y.dtype)) + f["b1"].astype(y.dtype))
+        w1 = f["w1"].astype(y.dtype)
+        b1 = f["b1"].astype(y.dtype)
+        w2 = f["w2"].astype(y.dtype)
+        # MXU lane alignment (config.ffn_pad_to): zero-pad the hidden dim at
+        # apply time. Exact — mish(0)=0, zero w2 rows, dropout mask drawn at
+        # the real width (see `dropout`); params/checkpoints keep d_ffn.
+        pad_tail = max(0, cfg.transformer.ffn_pad_to - cfg.transformer.d_ffn)
+        if pad_tail:
+            w1 = jnp.pad(w1, ((0, 0), (0, pad_tail)))
+            b1 = jnp.pad(b1, ((0, pad_tail),))
+            w2 = jnp.pad(w2, ((0, pad_tail), (0, 0)))
+        hmid = act(jnp.dot(y, w1) + b1)
         hmid = constrain(hmid, P("data", None, "model"))
-        hmid = dropout(k3, hmid)
-        o = jnp.dot(hmid, f["w2"].astype(hmid.dtype)) + f["b2"].astype(hmid.dtype)
+        hmid = dropout(k3, hmid, pad_tail=pad_tail)
+        o = jnp.dot(hmid, w2) + f["b2"].astype(hmid.dtype)
         o = constrain(o, P("data", None, None))
         x = x + dropout(k4, o)
         if not norm_first:
@@ -298,14 +318,16 @@ class OutfitXModel:
         )
         token_state = states[:, 0, :]
         if not deterministic and self.cfg.transformer.dropout > 0 and rng is not None:
+            # Head dropout (reference cp_ffn Dropout, outfit_x.py:57-61)
+            # through the same measured keep_mask mechanism as the layer
+            # dropouts (uint8 bits by default, OUTFITX_DROPOUT_BITS=exact
+            # restores bernoulli) — one dropout surface, one flag.
             hk = jax.random.fold_in(rng, 10_000)
-            keep = jax.random.bernoulli(
-                hk, 1.0 - self.cfg.transformer.dropout, token_state.shape
+            keep, q = rng_ops.keep_mask(
+                hk, self.cfg.transformer.dropout, token_state.shape
             )
             token_state = jnp.where(
-                keep,
-                token_state / (1.0 - self.cfg.transformer.dropout),
-                jnp.zeros_like(token_state),
+                keep, token_state / q, jnp.zeros_like(token_state)
             )
         h = params["cp_head"]
         scores = (

@@ -136,3 +136,68 @@ class TestSPMD:
             )
         ref = model.cp_forward(params, emb, mask)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+class TestFFNLanePad:
+    """`TransformerConfig(ffn_pad_to=N)` zero-pads the FFN hidden dim at
+    apply time for MXU lane alignment (d_ffn=2024 is 15*128+104 at the
+    flagship shape). The pad terms are exactly zero, so outputs/grads agree
+    to f32 accumulation order (the pad can shift matmul tiling; ~1 ULP on
+    CPU, bit-identical where XLA already tiles the contraction to 128);
+    the dropout stream matches exactly (mask drawn at the real width) and
+    params stay unpadded."""
+
+    def _pad_model(self, model):
+        import dataclasses
+
+        cfg = model.cfg
+        return OutfitXModel(
+            dataclasses.replace(
+                cfg,
+                transformer=dataclasses.replace(
+                    cfg.transformer, ffn_pad_to=128
+                ),
+            )
+        )
+
+    def test_eval_exact(self, model, params, rng):
+        emb, mask = _batch(rng, 6, 8, model.cfg.d_embed)
+        s0 = model.cp_forward(params, emb, mask)
+        s1 = self._pad_model(model).cp_forward(params, emb, mask)
+        np.testing.assert_allclose(
+            np.asarray(s0), np.asarray(s1), rtol=1e-5, atol=1e-6
+        )
+
+    def test_train_mode_and_grads_exact(self, model, params, rng):
+        emb, mask = _batch(rng, 6, 8, model.cfg.d_embed)
+        padded = self._pad_model(model)
+        k = jax.random.PRNGKey(7)
+
+        def loss(m):
+            return lambda p: jnp.sum(
+                m.cp_forward(p, emb, mask, deterministic=False, rng=k) ** 2
+            )
+
+        (l0, g0) = jax.value_and_grad(loss(model))(params)
+        (l1, g1) = jax.value_and_grad(loss(padded))(params)
+        np.testing.assert_allclose(
+            np.asarray(l0), np.asarray(l1), rtol=1e-5, atol=1e-6
+        )
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            )
+        # grad shapes match the UNpadded params (pad is apply-time only)
+        assert jax.tree.structure(g1) == jax.tree.structure(params)
+
+    def test_cir_exact(self, model, params, rng):
+        emb, mask = _batch(rng, 4, 8, model.cfg.d_embed)
+        text = jnp.asarray(
+            rng.standard_normal((4, model.cfg.d_embed // 2)),
+            dtype=jnp.float32,
+        )
+        o0 = model.cir_forward(params, emb, mask, text)
+        o1 = self._pad_model(model).cir_forward(params, emb, mask, text)
+        np.testing.assert_allclose(
+            np.asarray(o0), np.asarray(o1), rtol=1e-5, atol=1e-6
+        )
