@@ -106,23 +106,25 @@ def apply_encoder(
     # saving it exists for. Kept as an opt-in escape hatch for longer
     # sequences; default is the custom Pallas routing below.
     attn_impl = "auto"
-    if not causal and s > 32:
+    if s > 32:
         # Default ('auto', masked_mha): the padded Pallas kernel for L>128
         # (ViT-B/16 S=197 measured 1.18x vs XLA), the DIRECT kernel for
         # 32<L<=128 (text L=64 and ViT-B/32 S=50 both measured 1.33x —
         # no geometric pad, so none of the score-FLOP inflation that made
-        # the padded route lose here). OUTFITX_TOWER_ATTN overrides the
-        # formulation:
+        # the padded route lose here; the causal CLIP text tower at L=77
+        # rides the same direct kernel via its compile-time triangular
+        # branch). OUTFITX_TOWER_ATTN overrides the formulation:
         #   xla    — einsum attention; scores materialize in HBM
         #   pallas — the fused VMEM-score kernel at any tower length
-        #            (handles key-padding masks natively; causal stays XLA)
+        #            (key-padding masks and causal handled natively)
         #   flash  — stock TPU flash kernel (measured 0.77x at ViT-B
-        #            scale; kept for longer sequences); unmasked only.
+        #            scale; kept for longer sequences); unmasked,
+        #            non-causal only.
         choice = os.environ.get("OUTFITX_TOWER_ATTN", "")
         if not choice and os.environ.get("OUTFITX_TOWER_FLASH", "0") == "1":
             choice = "flash"  # back-compat alias
         if choice == "xla" or choice == "pallas" or (
-            choice == "flash" and pad_mask is None
+            choice == "flash" and pad_mask is None and not causal
         ):
             attn_impl = choice
     # OUTFITX_TOWER_MLP=pallas: fused MLP kernel (VMEM-resident mid tensor,

@@ -14,6 +14,7 @@ Inputs are (B, H, L, Dh) with a (B, L) bool key-padding mask.
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -50,7 +51,16 @@ def _mha_reference(q, k, v, pad_mask, causal: bool = False):
     return out.astype(q.dtype)
 
 
-def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
+def _causal_keep(l_q: int, l_k: int):
+    """(Lq, Lk) bool: True on/below the diagonal (the compile-time causal
+    branch; reference clip_text_encoder.py:42-47). Applied as a where-SET
+    to _NEG, matching _mha_reference's formulation exactly."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (l_q, l_k), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (l_q, l_k), 1)
+    return col <= row
+
+
+def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, causal: bool = False):
     # Blocks: q/k/v (TB, 1, L, Dh); mask (TB, 1, L) — the singleton middle
     # axis keeps the mask block's trailing dims (1, L) legal for any TB
     # (Pallas requires trailing block dims (8k, 128k) OR equal to the
@@ -70,6 +80,8 @@ def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
     ) * (1.0 / (dh**0.5))  # (TB, L, L) f32
     mask = mask_ref[:]  # (TB, 1, L) key mask
     scores = jnp.where(mask, _NEG, scores)
+    if causal:
+        scores = jnp.where(_causal_keep(*scores.shape[-2:])[None], scores, _NEG)
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores)
     probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
@@ -82,11 +94,21 @@ def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
     o_ref[:, 0] = out.astype(o_ref.dtype)
 
 
-def _tile_cap(l: int) -> int:
-    # Per-program block memory is bounded by the 16 MB scoped-VMEM stack
-    # (a tile-32 program at l=196 needs 23.65 MB and fails to compile —
-    # this, not dot_general unroll, is the real (tile_b, l) ceiling; e.g.
-    # (64, l=50) fails, (8/16, l=256), (128, l=17) fit). Measurements:
+# Per-program f32 score-block byte budget. Validated corners on v5e
+# (16 MB scoped-VMEM stack, total program footprint ~3.6x the score
+# block): tile 16 at Lp=256 -> 4.19 MB compiles; tile 32 at L=196 ->
+# 6.55 MB is the measured 23.65 MB Mosaic OOM. Tiles are sized so the
+# score block stays under this, and the router falls back to XLA when
+# even tile 1 exceeds it (ADVICE r3: a future tower with a long enough
+# sequence must degrade to XLA, not fail Mosaic compilation).
+_VMEM_SCORE_BUDGET = int(4.5 * 2**20)
+
+
+def _tile_cap(l: int, budget: int = _VMEM_SCORE_BUDGET) -> int:
+    # Returns the largest batch tile whose per-program (TB, Lq, Lk) f32
+    # score block fits the budget (0: nothing fits -> caller goes XLA).
+    # Mosaic pads the sublane dim to 8 and the lane dim to 128 internally,
+    # so budget against the padded extents. Measurements behind the caps:
     # ViT-B/16 tower (padded kernel) tile 4 -> 1004 ms, 8 -> 994, 16 ->
     # 987 per 2048-batch; direct kernel at S=196: 8 -> 764, 16 -> 756;
     # flagship L=17 forward core tile 32 -> 7.55 ms, 64 -> 7.09, 128 ->
@@ -94,7 +116,12 @@ def _tile_cap(l: int) -> int:
     # end-to-end CP forward at 128) under the 2026-08-17 codegen.
     if l <= 32:
         return 128
-    return 16
+    lq = round_up(l, 8)
+    lk = round_up(l, 128)
+    t = 16  # measured-fastest tile in the 32 < L <= 256 band
+    while t >= 1 and t * lq * lk * 4 > budget:
+        t //= 2
+    return t
 
 
 def _pad_batch(q, k, v, pad_mask, tile_b):
@@ -110,7 +137,7 @@ def _pad_batch(q, k, v, pad_mask, tile_b):
     return q, k, v, pad_mask, pad_b
 
 
-def _mha_pallas_impl(q, k, v, pad_mask):
+def _mha_pallas_impl(q, k, v, pad_mask, causal: bool = False):
     b, h, l, dh = q.shape
     cap = int(os.environ.get("OUTFITX_MHA_TILE", "0")) or _tile_cap(l)
     tile_b = max(1, min(cap, b))
@@ -120,7 +147,7 @@ def _mha_pallas_impl(q, k, v, pad_mask):
         (tile_b, 1, l, dh), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
-        _mha_kernel,
+        functools.partial(_mha_kernel, causal=causal),
         grid=grid,
         in_specs=[
             qkv_spec,
@@ -138,7 +165,10 @@ def _mha_pallas_impl(q, k, v, pad_mask):
     return out[:b]
 
 
-def _mha_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, dq_ref, dk_ref, dv_ref):
+def _mha_bwd_kernel(
+    q_ref, k_ref, v_ref, mask_ref, g_ref, dq_ref, dk_ref, dv_ref,
+    *, causal: bool = False,
+):
     # One fused backward per (batch-tile, head): recompute the tiny (L, L)
     # score/prob matrices in VMEM (cheaper than spilling them to HBM in the
     # forward), then the five small matmuls of the attention VJP. Matches the
@@ -159,6 +189,8 @@ def _mha_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, dq_ref, dk_ref, dv_ref
     scores = bdot(q, k, ((2,), (2,))) * scale  # (TB, L, L) f32
     mask = mask_ref[:]  # (TB, 1, L) key mask
     scores = jnp.where(mask, _NEG, scores)
+    if causal:
+        scores = jnp.where(_causal_keep(*scores.shape[-2:])[None], scores, _NEG)
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores)
     p = e / jnp.sum(e, axis=-1, keepdims=True)  # (TB, L, L) f32
@@ -179,14 +211,16 @@ def _mha_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, dq_ref, dk_ref, dv_ref
     dv_ref[:, 0] = dv.astype(dv_ref.dtype)
 
 
-def _mha_bwd_pallas_impl(q, k, v, pad_mask, g):
+def _mha_bwd_pallas_impl(q, k, v, pad_mask, g, causal: bool = False):
     b, h, l, dh = q.shape
     # Backward keeps its own measured cap (64 at L<=32): with five
     # in-program matmuls the VMEM/unroll pressure differs from the
     # forward's two, and 64 is the validated-fastest backward tile
     # (override: OUTFITX_MHA_BWD_TILE).
+    # Half the forward's score budget: the backward holds ~3 (L, L) f32
+    # temporaries (p, dp, ds) in VMEM vs the forward's ~2.
     cap = int(os.environ.get("OUTFITX_MHA_BWD_TILE", "0")) or (
-        64 if l <= 32 else _tile_cap(l)
+        64 if l <= 32 else _tile_cap(l, _VMEM_SCORE_BUDGET // 2)
     )
     tile_b = max(1, min(cap, b))
     q, k, v, pad_mask, pad_b = _pad_batch(q, k, v, pad_mask, tile_b)
@@ -198,7 +232,7 @@ def _mha_bwd_pallas_impl(q, k, v, pad_mask, g):
     )
     shape = jax.ShapeDtypeStruct((pad_b, h, l, dh), q.dtype)
     dq, dk, dv = pl.pallas_call(
-        _mha_bwd_kernel,
+        functools.partial(_mha_bwd_kernel, causal=causal),
         grid=grid,
         in_specs=[
             qkv_spec,
@@ -217,25 +251,31 @@ def _mha_bwd_pallas_impl(q, k, v, pad_mask, g):
     return dq[:b], dk[:b], dv[:b]
 
 
-@jax.custom_vjp
-def _mha_pallas(q, k, v, pad_mask):
-    return _mha_pallas_impl(q, k, v, pad_mask)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _mha_pallas(q, k, v, pad_mask, causal=False):
+    return _mha_pallas_impl(q, k, v, pad_mask, causal)
 
 
-def _mha_fwd(q, k, v, pad_mask):
-    return _mha_pallas_impl(q, k, v, pad_mask), (q, k, v, pad_mask)
+def _mha_fwd(q, k, v, pad_mask, causal):
+    return _mha_pallas_impl(q, k, v, pad_mask, causal), (q, k, v, pad_mask)
 
 
-def _mha_bwd(res, g):
+def _mha_bwd(causal, res, g):
     q, k, v, pad_mask = res
-    if os.environ.get("OUTFITX_MHA_BWD", "pallas") == "pallas":
+    if (
+        os.environ.get("OUTFITX_MHA_BWD", "pallas") == "pallas"
+        and _tile_cap(q.shape[2], _VMEM_SCORE_BUDGET // 2) >= 1
+    ):
         # Fused single-kernel backward: recomputes the tiny (L, L)
         # scores/probs in VMEM and emits dq/dk/dv in one pass (measured
         # faster than the XLA recompute chain at the flagship shape).
-        dq, dk, dv = _mha_bwd_pallas_impl(q, k, v, pad_mask, g)
+        dq, dk, dv = _mha_bwd_pallas_impl(q, k, v, pad_mask, g, causal)
         return dq, dk, dv, None
     # OUTFITX_MHA_BWD=xla: recompute-based backward through the XLA path.
-    _, vjp = jax.vjp(lambda q, k, v: _mha_reference(q, k, v, pad_mask), q, k, v)
+    _, vjp = jax.vjp(
+        lambda q, k, v: _mha_reference(q, k, v, pad_mask, causal=causal),
+        q, k, v,
+    )
     dq, dk, dv = vjp(g)
     return dq, dk, dv, None
 
@@ -279,12 +319,14 @@ def _mha_flash_nomask(q, k, v):
     return out[:, :, :l]
 
 
-def _mha_pallas_padded(q, k, v, pad_mask):
+def _mha_pallas_padded(q, k, v, pad_mask, causal: bool = False):
     """The L<=32 set-attention kernel applied at tower sequence lengths
     (L=50 ViT-B/32, 197 ViT-B/16): pad L up to a 128 lane multiple, mask
     the geometric padding as extra PAD KEYS (exact — padded keys get score
     -inf; padded query rows compute garbage and are sliced away, and their
-    cotangents are zero so dk/dv stay exact through the custom VJP).
+    cotangents are zero so dk/dv stay exact through the custom VJP; with
+    ``causal`` the padded key columns sit above every real row's diagonal
+    anyway).
 
     Keeps the whole (TB, Lp, Lp) score block VMEM-resident per
     (batch-tile, head) program — the technique that won at L=17 — instead
@@ -298,7 +340,7 @@ def _mha_pallas_padded(q, k, v, pad_mask):
         pad_mask = jnp.pad(
             pad_mask, ((0, 0), (0, lp - l)), constant_values=True
         )
-    out = _mha_pallas(q, k, v, pad_mask)
+    out = _mha_pallas(q, k, v, pad_mask, causal)
     return out[:, :, :l]
 
 
@@ -314,25 +356,21 @@ def masked_mha(q, k, v, pad_mask, *, causal: bool = False, impl: str = "auto"):
         # - long tower sequences L>128 via the padded kernel (ViT-B/16
         #   S=197->256: vision tower 1177 -> 995 ms/2048-batch, 1.18x —
         #   VMEM-resident scores beat XLA's HBM score materialization);
-        # - 32 < L <= 128 non-causal via the DIRECT kernel (blocks equal
-        #   to the array dims need no geometric pad): text tower L=64
-        #   measured 322 -> 241 ms/2048-batch, 1.33x. (The earlier
-        #   "text loses" result — 356 vs 322 ms — was the EXPLICIT
-        #   128-pad route whose 4x score-FLOP inflation the direct
-        #   kernel avoids.)
-        # Causal (CLIP text) stays XLA: the kernel has no causal mask.
-        l = q.shape[2]
-        use_pallas = jax.default_backend() == "tpu" and (
-            l <= 32 or not causal
-        )
-        impl = "pallas" if use_pallas else "xla"
+        # - 32 < L <= 128 via the DIRECT kernel (blocks equal to the
+        #   array dims need no geometric pad): text tower L=64 measured
+        #   322 -> 241 ms/2048-batch, 1.33x. (The earlier "text loses"
+        #   result — 356 vs 322 ms — was the EXPLICIT 128-pad route whose
+        #   4x score-FLOP inflation the direct kernel avoids.)
+        # Causal (CLIP text, L=77) rides the same direct kernel via a
+        # compile-time triangular branch (VERDICT r3 item 4).
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "flash":
         # Caller guarantees pad_mask is all-False and not causal; the stock
         # flash kernel needs a TPU backend.
         if jax.default_backend() == "tpu" and not causal:
             return _mha_flash_nomask(q, k, v)
         impl = "xla"
-    if impl == "pallas" and not causal:
+    if impl == "pallas":
         # Blocks equal to the array dims are legal at ANY l (Mosaic pads
         # lanes internally), so the explicit geometric 128-pad (and its
         # score-FLOP inflation) is only applied above a threshold. Direct
@@ -342,7 +380,14 @@ def masked_mha(q, k, v, pad_mask, *, causal: bool = False, impl: str = "auto"):
         # is known to compile (BENCHMARKS.md tower-attention study);
         # OUTFITX_MHA_DIRECT_MAX overrides.
         direct_max = int(os.environ.get("OUTFITX_MHA_DIRECT_MAX", "256"))
-        if q.shape[2] > direct_max:
-            return _mha_pallas_padded(q, k, v, pad_mask)
-        return _mha_pallas(q, k, v, pad_mask)
+        l = q.shape[2]
+        lp = round_up(l, 128) if l > direct_max else l
+        if _tile_cap(lp) < 1:
+            # even a tile-1 program's score block exceeds the scoped-VMEM
+            # budget (l beyond ~1k) — degrade to XLA instead of letting
+            # Mosaic fail to compile (ADVICE r3).
+            return _mha_reference(q, k, v, pad_mask, causal=causal)
+        if l > direct_max:
+            return _mha_pallas_padded(q, k, v, pad_mask, causal)
+        return _mha_pallas(q, k, v, pad_mask, causal)
     return _mha_reference(q, k, v, pad_mask, causal=causal)

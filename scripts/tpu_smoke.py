@@ -118,6 +118,24 @@ def main() -> int:
             5e-2,
         )
 
+    # Causal direct kernel (CLIP text tower: L=77, causal + key-pad mask)
+    bt, ht, lt, dht = 64, 8, 77, 64
+    qt = jnp.asarray(
+        rng.standard_normal((bt, ht, lt, dht)), dtype=jnp.bfloat16
+    )
+    mt = jnp.asarray(
+        np.arange(lt)[None, :] >= rng.integers(5, lt + 1, size=(bt, 1))
+    )
+    got = jax.jit(
+        lambda q, m: masked_mha(q, q, q, m, causal=True, impl="pallas")
+    )(qt, mt)
+    check(
+        "pallas causal MHA (L=77, masked)",
+        got,
+        _mha_reference(qt, qt, qt, mt, causal=True),
+        5e-2,
+    )
+
     # Pallas LayerNorm vs XLA
     x = jnp.asarray(rng.standard_normal((1024, 1536)), dtype=jnp.float32)
     s = jnp.asarray(rng.standard_normal(1536), dtype=jnp.float32)
