@@ -123,6 +123,27 @@ def retrieve_chunked(
     return best_d, best_i
 
 
+def retrieve_per_query_pools(queries, pools, k: int, *, approx: bool = False):
+    """Top-k where every query has its OWN candidate pool.
+
+    queries: (B, D); pools: (B, P, D). Returns (dists2 (B, k), pool-local
+    indices (B, k)). The batched-serving form of the reference's
+    per-category pool retrieval (cdist against the target category's pool,
+    complementary_item_retrieval_trainer.py:192-249): B coalesced CIR
+    requests with different target categories share one device program —
+    one (B, 1, D) x (B, P, D) batched matmul instead of B dispatches.
+    """
+    qf = queries.astype(jnp.float32)
+    pf = pools.astype(jnp.float32)
+    q2 = jnp.sum(qf * qf, axis=-1)[:, None]  # (B, 1)
+    p2 = jnp.sum(pf * pf, axis=-1)  # (B, P)
+    cross = jnp.einsum(
+        "bd,bpd->bp", queries, pools, preferred_element_type=jnp.float32
+    )
+    d2 = jnp.maximum(q2 + p2 - 2.0 * cross, 0.0)
+    return topk_smallest(d2, k, approx=approx)
+
+
 def fitb_pick(query_emb, candidate_embs):
     """FITB: argmin L2 over per-row candidates.
 

@@ -112,9 +112,11 @@ const fitb = () => post('/api/fitb', {outfit: ids(),
 </script></body></html>"""
 
 
-def make_handler(engine, cp_scorer=None):
-    """cp_scorer: optional CoalescingCPScorer — /api/cp then shares one
-    fused device program across concurrent requests (serve/coalesce.py)."""
+def make_handler(engine, cp_scorer=None, cir_retriever=None, sim_retriever=None):
+    """Optional coalescers (serve/coalesce.py): /api/cp, /api/cir and
+    /api/similar then share one fused device program across concurrent
+    requests — CIR and similar are the 60+ ms dispatches that most need
+    it under load."""
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload, content_type="application/json"):
@@ -161,9 +163,12 @@ def make_handler(engine, cp_scorer=None):
                 except (IndexError, ValueError):
                     return self._send(400, {"error": "item_id required"})
                 try:
-                    return self._send(
-                        200, {"items": engine.similar_items(item_id)}
+                    items = (
+                        sim_retriever.similar(item_id)
+                        if sim_retriever is not None
+                        else engine.similar_items(item_id)
                     )
+                    return self._send(200, {"items": items})
                 except KeyError as e:
                     return self._send(404, {"error": str(e.args[0])})
             if self.path.startswith("/api/health"):
@@ -206,14 +211,12 @@ def make_handler(engine, cp_scorer=None):
                         {"scores": engine.cp_score_batch(req["outfits"])},
                     )
                 if self.path == "/api/cir":
-                    return self._send(
-                        200,
-                        {
-                            "items": engine.cir_top10(
-                                req["outfit"], req["target"]
-                            )
-                        },
+                    items = (
+                        cir_retriever.retrieve(req["outfit"], req["target"])
+                        if cir_retriever is not None
+                        else engine.cir_top10(req["outfit"], req["target"])
                     )
+                    return self._send(200, {"items": items})
                 if self.path == "/api/fitb":
                     return self._send(
                         200,
@@ -362,13 +365,26 @@ def serve(
     coalesce_ms: Optional[float] = None,
 ):
     engine = engine or build_engine(synthetic=synthetic, mock=mock)
-    cp_scorer = None
+    coalescers = []
+    cp_scorer = cir_retriever = sim_retriever = None
     if coalesce_ms:
-        from outfitx_tpu.serve.coalesce import CoalescingCPScorer
+        from outfitx_tpu.serve.coalesce import (
+            CoalescingCIRRetriever,
+            CoalescingCPScorer,
+            CoalescingSimilarItems,
+        )
 
         cp_scorer = CoalescingCPScorer(engine, window_ms=coalesce_ms)
+        sim_retriever = CoalescingSimilarItems(engine, window_ms=coalesce_ms)
+        coalescers = [cp_scorer, sim_retriever]
+        if engine.cir_params is not None or engine.mock:
+            cir_retriever = CoalescingCIRRetriever(
+                engine, window_ms=coalesce_ms
+            )
+            coalescers.append(cir_retriever)
     httpd = ThreadingHTTPServer(
-        ("0.0.0.0", port), make_handler(engine, cp_scorer)
+        ("0.0.0.0", port),
+        make_handler(engine, cp_scorer, cir_retriever, sim_retriever),
     )
     print(f"OutfitX-TPU demo on http://0.0.0.0:{port} (mock={mock})")
     try:
@@ -377,5 +393,5 @@ def serve(
         pass
     finally:
         httpd.server_close()
-        if cp_scorer is not None:
-            cp_scorer.close()
+        for c in coalescers:
+            c.close()

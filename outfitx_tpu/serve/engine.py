@@ -23,7 +23,12 @@ from outfitx_tpu.data.catalog import Catalog
 from outfitx_tpu.data.sampler import CandidatePools
 from outfitx_tpu.data.splits import CPSplit, FITBSplit, OutfitSplit, _pad_outfits
 from outfitx_tpu.models import OutfitXModel
-from outfitx_tpu.ops.retrieval import fitb_pick, retrieve, retrieve_chunked
+from outfitx_tpu.ops.retrieval import (
+    fitb_pick,
+    retrieve,
+    retrieve_chunked,
+    retrieve_per_query_pools,
+)
 
 
 class UnknownItemError(KeyError):
@@ -58,6 +63,12 @@ class ServingEngine:
     fitb_split: Optional[FITBSplit] = None
 
     warmup: bool = True
+    # cp_score_batch pads every chunk to exactly this many outfits, so the
+    # engine compiles ONE batch program — warmed at startup — no matter the
+    # request size (larger requests are chunked). Power-of-two buckets per
+    # request size would leave the browse endpoints (n up to 32) stalling
+    # behind fresh 1-7 min remote compiles for every new bucket.
+    cp_batch_bucket: int = 8
 
     def __post_init__(self):
         self.model = OutfitXModel(self.model_cfg)
@@ -77,14 +88,15 @@ class ServingEngine:
     def _warmup(self):
         """Compile EVERY jitted task program at startup so no first HTTP
         request stalls behind XLA compilation (1-7 min per program through
-        a remote compile service): cp single + smallest batch bucket, BOTH
+        a remote compile service): cp single + THE batch bucket (all batch
+        sizes chunk into it, including the sample_* browse endpoints), BOTH
         CIR routes (whole-catalog and pool), fitb, similar."""
         ids = self.sample_outfit(4)
         self.cp_score(ids)
-        self.cp_score_batch([ids[:2], ids[2:]])  # smallest bucket (2)
+        self.cp_score_batch([ids[:2], ids[2:]])  # pads to cp_batch_bucket
         if self.cir_params is not None:
             rows, mask = self._pad(ids[:1])
-            trow = np.int32(self.lookup_row(ids[1]))
+            trow = np.asarray([self.lookup_row(ids[1])], dtype=np.int32)
             self._cir_task(  # whole-catalog route
                 self.cir_params, self.catalog_dev, self._qcat, rows, mask, trow
             )
@@ -92,10 +104,30 @@ class ServingEngine:
                 pool_rows = next(iter(self.pools.pools.values()))
                 self._cir_pool_task(
                     self.cir_params, self.catalog_dev, rows, mask, trow,
-                    np.asarray(pool_rows, dtype=np.int32),
+                    np.asarray(pool_rows, dtype=np.int32)[None],
                 )
             self.fitb_pick(ids[:3], ids[:4])
+            # coalesced-batch CIR bucket (B = cp_batch_bucket), BOTH routes
+            b = self.cp_batch_bucket
+            rows_b = np.broadcast_to(rows, (b, rows.shape[1])).copy()
+            mask_b = np.broadcast_to(mask, (b, mask.shape[1])).copy()
+            trows_b = np.broadcast_to(trow, (b,)).copy()
+            self._cir_task(
+                self.cir_params, self.catalog_dev, self._qcat,
+                rows_b, mask_b, trows_b,
+            )
+            if self.pools is not None and self.pools.pools:
+                pool_rows = next(iter(self.pools.pools.values()))
+                prows_b = np.broadcast_to(
+                    np.asarray(pool_rows, dtype=np.int32)[None],
+                    (b, len(pool_rows)),
+                ).copy()
+                self._cir_pool_task(
+                    self.cir_params, self.catalog_dev,
+                    rows_b, mask_b, trows_b, prows_b,
+                )
         self.similar_items(ids[0])
+        self.similar_items_batch(ids[:2])  # coalesced-batch bucket
 
     def _build_task_programs(self):
         """One jitted program per task, taking catalog ROW INDICES.
@@ -114,9 +146,11 @@ class ServingEngine:
         chunked = n > self.chunk_threshold
         model = self.model
 
-        def cir_query(p, cat, rows, mask, target_row):
-            emb = jnp.take(cat, rows, axis=0)  # (1, L, D)
-            text = jnp.take(cat, target_row[None], axis=0)[:, d // 2 :]
+        def cir_query(p, cat, rows, mask, target_rows):
+            # batch-polymorphic: rows (B, L), target_rows (B,) — single
+            # requests are the B=1 instance, coalesced batches B=bucket.
+            emb = jnp.take(cat, rows, axis=0)  # (B, L, D)
+            text = jnp.take(cat, target_rows, axis=0)[:, d // 2 :]
             return model.cir_forward(p, emb, mask, text)
 
         def catalog_topk(y, cat, qcat, k):
@@ -146,22 +180,24 @@ class ServingEngine:
             emb = jnp.take(cat, rows, axis=0)
             return jax.nn.sigmoid(model.cp_forward(p, emb, mask))
 
-        def cir_task(p, cat, qcat, rows, mask, target_row):
-            y = cir_query(p, cat, rows, mask, target_row)
+        def cir_task(p, cat, qcat, rows, mask, target_rows):
+            y = cir_query(p, cat, rows, mask, target_rows)
             return catalog_topk(y, cat, qcat, 10)
 
-        def cir_pool_task(p, cat, rows, mask, target_row, pool_rows):
-            y = cir_query(p, cat, rows, mask, target_row)
-            pool_emb = jnp.take(cat, pool_rows, axis=0)
-            return retrieve(y, pool_emb, k=10)  # 3000-pool: exact
+        def cir_pool_task(p, cat, rows, mask, target_rows, pool_rows):
+            # pool_rows (B, P): every request retrieves against its OWN
+            # target category's pool in the one batched program.
+            y = cir_query(p, cat, rows, mask, target_rows)
+            pool_emb = jnp.take(cat, pool_rows, axis=0)  # (B, P, D)
+            return retrieve_per_query_pools(y, pool_emb, k=10)  # exact
 
         def fitb_task(p, cat, rows, mask, text_row, cand_rows):
             y = cir_query(p, cat, rows, mask, text_row)
             cands = jnp.take(cat, cand_rows, axis=0)[None]
             return fitb_pick(y, cands)
 
-        def sim_task(cat, qcat, row, k):
-            q = jnp.take(cat, row[None], axis=0)
+        def sim_task(cat, qcat, qrows, k):
+            q = jnp.take(cat, qrows, axis=0)  # (B, D)
             return catalog_topk(q, cat, qcat, k)
 
         self._cp_task = jax.jit(cp_task)
@@ -199,9 +235,10 @@ class ServingEngine:
         """Sigmoid scores for many outfits in ONE device program.
 
         Batched serving surface (beyond the reference demo, whose UI scores
-        one outfit per click): outfits are padded to L and the batch to the
-        next power of two (so jit compiles one program per size bucket, not
-        per request shape); pad outfits score garbage and are sliced away.
+        one outfit per click): outfits are padded to L, and the batch is
+        processed in chunks padded to exactly ``cp_batch_bucket`` — ONE
+        compiled batch program for every request size (warmed at startup;
+        pad outfits score garbage and are sliced away).
         """
         if self.mock:
             return [float(self._rng.random()) for _ in outfits]
@@ -216,19 +253,24 @@ class ServingEngine:
         )
         rows = np.asarray(rows, dtype=np.int32)
         mask = np.asarray(mask)
-        b = len(outfits)
-        bp = 1 << (b - 1).bit_length()  # next power of two
-        if bp != b:
-            rows = np.concatenate(
-                [rows, np.broadcast_to(rows[:1], (bp - b, *rows.shape[1:]))]
+        b, bucket = len(outfits), self.cp_batch_bucket
+        out: List[float] = []
+        for start in range(0, b, bucket):
+            crows = rows[start : start + bucket]
+            cmask = mask[start : start + bucket]
+            if len(crows) != bucket:
+                n_pad = bucket - len(crows)
+                crows = np.concatenate(
+                    [crows, np.broadcast_to(crows[:1], (n_pad, *crows.shape[1:]))]
+                )
+                cmask = np.concatenate(
+                    [cmask, np.broadcast_to(cmask[:1], (n_pad, *cmask.shape[1:]))]
+                )
+            scores = np.asarray(
+                self._cp_task(self.cp_params, self.catalog_dev, crows, cmask)
             )
-            mask = np.concatenate(
-                [mask, np.broadcast_to(mask[:1], (bp - b, *mask.shape[1:]))]
-            )
-        scores = np.asarray(
-            self._cp_task(self.cp_params, self.catalog_dev, rows, mask)
-        )
-        return [float(s) for s in scores[:b]]
+            out.extend(float(s) for s in scores[: min(bucket, b - start)])
+        return out
 
     def cir_top10(
         self, item_ids: List[int], target_item_id: int
@@ -240,7 +282,7 @@ class ServingEngine:
         target_row = self.lookup_row(target_item_id)
         cid = int(self.catalog.category_id[target_row])
         rows, mask = self._pad(item_ids)
-        trow = np.int32(target_row)
+        trow = np.asarray([target_row], dtype=np.int32)
         pool_rows = (
             self.pools.pools.get(cid)
             if self.pools is not None
@@ -254,12 +296,86 @@ class ServingEngine:
         else:
             d2, idx = self._cir_pool_task(
                 self.cir_params, self.catalog_dev, rows, mask, trow,
-                np.asarray(pool_rows, dtype=np.int32),
+                np.asarray(pool_rows, dtype=np.int32)[None],
             )
         out = []
         for i, dist in zip(np.asarray(idx)[0], np.asarray(d2)[0]):
             row = int(i) if pool_rows is None else int(pool_rows[i])
             out.append(self._item_info(row, float(dist)))
+        return out
+
+    def cir_top10_batch(
+        self, requests: List  # [(item_ids, target_item_id), ...]
+    ) -> List[List[Dict]]:
+        """Top-10 retrieval for many (outfit, target) requests in fused
+        batch programs — the coalesced form of ``cir_top10``. Requests are
+        grouped by route (target category has a pool vs whole catalog),
+        each group processed in chunks padded to exactly
+        ``cp_batch_bucket`` (one compiled program per route, warmed at
+        startup). Results keep request order."""
+        if self.mock:
+            return [
+                [
+                    self._item_info(int(r), 1.0)
+                    for r in self._rng.choice(
+                        self.catalog.n_items, 10, replace=False
+                    )
+                ]
+                for _ in requests
+            ]
+        if not requests:
+            return []
+        l = self.model_cfg.max_outfit_len
+        rows = np.zeros((len(requests), l), dtype=np.int32)
+        mask = np.zeros((len(requests), l), dtype=bool)
+        trows = np.zeros(len(requests), dtype=np.int32)
+        pool_idx: List[int] = []  # request indices per route
+        cat_idx: List[int] = []
+        pools_of: Dict[int, np.ndarray] = {}
+        for i, (item_ids, target_id) in enumerate(requests):
+            r, m = self._pad(list(item_ids))
+            rows[i], mask[i] = r[0], m[0]
+            trow = self.lookup_row(target_id)
+            trows[i] = trow
+            cid = int(self.catalog.category_id[trow])
+            pr = self.pools.pools.get(cid) if self.pools is not None else None
+            if pr is None:
+                cat_idx.append(i)
+            else:
+                pool_idx.append(i)
+                pools_of[i] = np.asarray(pr, dtype=np.int32)
+        out: List = [None] * len(requests)
+        bucket = self.cp_batch_bucket
+
+        def chunks(idxs):
+            for s in range(0, len(idxs), bucket):
+                sel = idxs[s : s + bucket]
+                n_pad = bucket - len(sel)
+                yield sel, np.asarray(sel + sel[:1] * n_pad, dtype=np.int64)
+
+        for sel, padded in chunks(cat_idx):
+            d2, idx = self._cir_task(
+                self.cir_params, self.catalog_dev, self._qcat,
+                rows[padded], mask[padded], trows[padded],
+            )
+            d2, idx = np.asarray(d2), np.asarray(idx)
+            for j, i in enumerate(sel):
+                out[i] = [
+                    self._item_info(int(r), float(dd))
+                    for r, dd in zip(idx[j], d2[j])
+                ]
+        for sel, padded in chunks(pool_idx):
+            prows = np.stack([pools_of[int(i)] for i in padded])
+            d2, idx = self._cir_pool_task(
+                self.cir_params, self.catalog_dev,
+                rows[padded], mask[padded], trows[padded], prows,
+            )
+            d2, idx = np.asarray(d2), np.asarray(idx)
+            for j, i in enumerate(sel):
+                out[i] = [
+                    self._item_info(int(pools_of[i][p]), float(dd))
+                    for p, dd in zip(idx[j], d2[j])
+                ]
         return out
 
     def fitb_pick(
@@ -276,7 +392,9 @@ class ServingEngine:
             np.asarray(
                 self._fitb_task(
                     self.cir_params, self.catalog_dev, rows, mask,
-                    np.int32(self.lookup_row(candidate_ids[0])),
+                    np.asarray(
+                        [self.lookup_row(candidate_ids[0])], dtype=np.int32
+                    ),
                     np.asarray(self.catalog.rows(candidate_ids), dtype=np.int32),
                 )
             )[0]
@@ -317,7 +435,8 @@ class ServingEngine:
             rows = self._rng.choice(self.catalog.n_items, k, replace=False)
             return [self._item_info(int(r), 1.0) for r in rows]
         d2, idx = self._sim_task(
-            self.catalog_dev, self._qcat, np.int32(row), k + 1
+            self.catalog_dev, self._qcat,
+            np.asarray([row], dtype=np.int32), k + 1,
         )
         out = []
         for i, dist in zip(np.asarray(idx)[0], np.asarray(d2)[0]):
@@ -325,6 +444,42 @@ class ServingEngine:
                 continue  # skip the query item itself
             out.append(self._item_info(int(i), float(dist)))
         return out[:k]
+
+    def similar_items_batch(
+        self, item_ids: List[int], k: int = 10
+    ) -> List[List[Dict]]:
+        """Nearest neighbours for many query items in fused batch programs
+        (the coalesced form of ``similar_items``): chunks padded to exactly
+        ``cp_batch_bucket`` — one compiled program, warmed at startup."""
+        if self.mock:
+            return [self.similar_items(i, k) for i in item_ids]
+        if not item_ids:
+            return []
+        qrows = np.asarray(
+            [self.lookup_row(i) for i in item_ids], dtype=np.int32
+        )
+        bucket = self.cp_batch_bucket
+        out: List[List[Dict]] = []
+        for s in range(0, len(qrows), bucket):
+            chunk = qrows[s : s + bucket]
+            n_real = len(chunk)
+            if n_real != bucket:
+                chunk = np.concatenate(
+                    [chunk, np.broadcast_to(chunk[:1], (bucket - n_real,))]
+                )
+            d2, idx = self._sim_task(
+                self.catalog_dev, self._qcat, chunk, k + 1
+            )
+            d2, idx = np.asarray(d2), np.asarray(idx)
+            for j in range(n_real):
+                row = int(chunk[j])
+                items = [
+                    self._item_info(int(i), float(dd))
+                    for i, dd in zip(idx[j], d2[j])
+                    if int(i) != row
+                ]
+                out.append(items[:k])
+        return out
 
     def sample_outfit(self, n: int = 4) -> List[int]:
         rows = self._rng.choice(self.catalog.n_items, n, replace=False)

@@ -207,10 +207,18 @@ class TestWarmup:
         assert all(v >= 1 for n, v in before.items() if n != "_cir_pool_task"), before
         ids = eng.sample_outfit(4)
         eng.cp_score(ids)
-        eng.cp_score_batch([ids[:2], ids[2:]])  # smallest (warmed) bucket
+        eng.cp_score_batch([ids[:2], ids[2:]])  # pads to the warmed bucket
+        # any request size chunks into the SAME bucket (ADVICE r3: the
+        # browse endpoints' n<=32 must never hit a fresh compile)
+        eng.cp_score_batch([ids] * (eng.cp_batch_bucket * 2 + 3))
         eng.cir_top10(ids[:3], ids[3])
         eng.fitb_pick(ids[:3], ids[:4])
         eng.similar_items(ids[0])
+        # coalesced-batch surfaces hit the warmed bucket programs too
+        eng.cir_top10_batch(
+            [(ids[:2], ids[2])] * (eng.cp_batch_bucket + 1)
+        )
+        eng.similar_items_batch(ids)
         after = self._cache_sizes(eng)
         assert after == before, f"retrace after warmup: {before} -> {after}"
 
@@ -563,3 +571,154 @@ class TestSampleBrowsing:
             assert e.code == 404
         finally:
             httpd.shutdown()
+
+
+class TestBatchedRetrievalSurfaces:
+    """cir_top10_batch / similar_items_batch (the coalesced forms of the
+    60+ ms requests, VERDICT r3 item 5) must reproduce the single-request
+    results in request order, across both routes and bucket boundaries."""
+
+    @pytest.fixture(scope="class")
+    def exact_engine(self, model_cfg):
+        import jax
+
+        from outfitx_tpu.data.sampler import CandidatePools
+        from outfitx_tpu.models import OutfitXModel
+
+        data = make_synthetic(n_items=300, d_embed=32, n_outfits=64, seed=11)
+        params = OutfitXModel(model_cfg).init(jax.random.PRNGKey(0))
+        pools = CandidatePools.build(
+            data.catalog, data.cir_valid, pool_size=64, threshold=1, seed=0
+        )
+        # force a MIXED-route batch: drop one category's pool so targets in
+        # it take the whole-catalog route
+        dropped = sorted(pools.pools)[0]
+        del pools.pools[dropped]
+        eng = ServingEngine(
+            model_cfg=model_cfg,
+            catalog=data.catalog,
+            cp_params=params,
+            cir_params=params,
+            pools=pools,
+            approx_topk=False,  # exact top-k: batch == single bitwise-stable
+        )
+        eng._dropped_cid = dropped
+        return eng
+
+    def _requests(self, eng, n):
+        rng = __import__("numpy").random.default_rng(3)
+        reqs = []
+        for _ in range(n):
+            ids = eng.sample_outfit(3)
+            target = eng.sample_outfit(1)[0]
+            reqs.append((ids[:2], target))
+        return reqs
+
+    def test_cir_batch_matches_single_mixed_routes(self, exact_engine):
+        eng = exact_engine
+        # ensure both routes appear: at least one target from the dropped
+        # category (catalog route) and one from a pooled category
+        import numpy as np
+
+        cat_rows = np.flatnonzero(
+            np.asarray(eng.catalog.category_id[: eng.catalog.n_items])
+            == eng._dropped_cid
+        )
+        pool_rows = np.flatnonzero(
+            np.asarray(eng.catalog.category_id[: eng.catalog.n_items])
+            != eng._dropped_cid
+        )
+        reqs = self._requests(eng, eng.cp_batch_bucket + 3)
+        reqs[0] = (reqs[0][0], int(eng.catalog.item_ids[cat_rows[0]]))
+        reqs[1] = (reqs[1][0], int(eng.catalog.item_ids[pool_rows[0]]))
+        batch = eng.cir_top10_batch(reqs)
+        assert len(batch) == len(reqs)
+        for (ids, t), got in zip(reqs, batch):
+            single = eng.cir_top10(ids, t)
+            assert [x["item_id"] for x in got] == [
+                x["item_id"] for x in single
+            ]
+        assert eng.cir_top10_batch([]) == []
+
+    def test_similar_batch_matches_single(self, exact_engine):
+        eng = exact_engine
+        ids = eng.sample_outfit(eng.cp_batch_bucket * 2 + 3)
+        batch = eng.similar_items_batch(ids)
+        assert len(batch) == len(ids)
+        for i, got in zip(ids, batch):
+            single = eng.similar_items(i)
+            assert [x["item_id"] for x in got] == [
+                x["item_id"] for x in single
+            ]
+        assert eng.similar_items_batch([]) == []
+
+
+class TestMixedTaskCoalescing:
+    """CP + CIR + similar coalescers running concurrently must each batch
+    their own stream and reproduce single-request results."""
+
+    def test_concurrent_mixed_tasks(self, engine):
+        import concurrent.futures
+
+        from outfitx_tpu.serve.coalesce import (
+            CoalescingCIRRetriever,
+            CoalescingCPScorer,
+            CoalescingSimilarItems,
+        )
+
+        cp = CoalescingCPScorer(engine, window_ms=20.0)
+        cir = CoalescingCIRRetriever(engine, window_ms=20.0)
+        sim = CoalescingSimilarItems(engine, window_ms=20.0)
+        outfits = [engine.sample_outfit(n % 3 + 2) for n in range(8)]
+        targets = [engine.sample_outfit(1)[0] for _ in range(8)]
+        items = engine.sample_outfit(8)
+        exp_cp = [engine.cp_score(o) for o in outfits]
+        exp_cir = [
+            [x["item_id"] for x in engine.cir_top10(o, t)]
+            for o, t in zip(outfits, targets)
+        ]
+        exp_sim = [
+            [x["item_id"] for x in engine.similar_items(i)] for i in items
+        ]
+        try:
+            with concurrent.futures.ThreadPoolExecutor(max_workers=12) as ex:
+                f_cp = [ex.submit(cp.score, o) for o in outfits]
+                f_cir = [
+                    ex.submit(cir.retrieve, o, t)
+                    for o, t in zip(outfits, targets)
+                ]
+                f_sim = [ex.submit(sim.similar, i) for i in items]
+                got_cp = [f.result() for f in f_cp]
+                got_cir = [
+                    [x["item_id"] for x in f.result()] for f in f_cir
+                ]
+                got_sim = [
+                    [x["item_id"] for x in f.result()] for f in f_sim
+                ]
+            for g, e in zip(got_cp, exp_cp):
+                assert abs(g - e) < 1e-5
+            # engine fixture uses approx_topk: allow rank jitter between
+            # the B=1 and batched programs' f32 tilings, not id drift
+            for g, e in zip(got_cir, exp_cir):
+                assert len(set(g) & set(e)) >= 8, (g, e)
+            for g, e in zip(got_sim, exp_sim):
+                assert len(set(g) & set(e)) >= 8, (g, e)
+            assert cir.batch_calls >= 1 and sim.batch_calls >= 1
+        finally:
+            cp.close()
+            cir.close()
+            sim.close()
+
+    def test_bad_request_does_not_poison_batch(self, engine):
+        from outfitx_tpu.serve.coalesce import CoalescingCIRRetriever
+        from outfitx_tpu.serve.engine import UnknownItemError
+
+        cir = CoalescingCIRRetriever(engine, window_ms=5.0)
+        try:
+            with pytest.raises(UnknownItemError):
+                cir.retrieve([10**9], 0)
+            good = engine.sample_outfit(3)
+            out = cir.retrieve(good[:2], good[2])
+            assert len(out) == 10
+        finally:
+            cir.close()
