@@ -17,7 +17,7 @@ negatives flagged in ``neg_mask``.
 from __future__ import annotations
 
 import dataclasses
-from collections import defaultdict
+from collections import OrderedDict, defaultdict
 from typing import Dict, Iterator, Optional
 
 import numpy as np
@@ -260,7 +260,11 @@ def cir_train_batches(
         }
 
 
-_NATIVE_ASSEMBLERS: dict = {}
+# Bounded LRU: assemblers hold CSR copies of the split (~tens of MB at
+# production scale), and a long-lived process (chained trainers, tests)
+# touches many (split, catalog) pairs — unbounded growth otherwise.
+_NATIVE_ASSEMBLERS: OrderedDict = OrderedDict()
+_NATIVE_ASSEMBLERS_MAX = 4
 
 
 def _cir_train_batches_native(
@@ -284,8 +288,14 @@ def _cir_train_batches_native(
     cache_key = (id(split), id(catalog), sample_mode, n_negatives, seed)
     cached = _NATIVE_ASSEMBLERS.get(cache_key)
     assembler = None
-    if cached is not None and cached[0] is split and cached[1] is catalog:
-        assembler = cached[2]
+    if cached is not None:
+        if cached[0] is split and cached[1] is catalog:
+            assembler = cached[2]
+            _NATIVE_ASSEMBLERS.move_to_end(cache_key)
+        else:
+            # id() aliased after GC recycled the address — the original
+            # (split, catalog) pair is dead by definition; evict.
+            del _NATIVE_ASSEMBLERS[cache_key]
     if assembler is None:
         key_col = (
             catalog.semantic_category
@@ -304,6 +314,8 @@ def _cir_train_batches_native(
             seed=seed,
         )
         _NATIVE_ASSEMBLERS[cache_key] = (split, catalog, assembler)
+        while len(_NATIVE_ASSEMBLERS) > _NATIVE_ASSEMBLERS_MAX:
+            _NATIVE_ASSEMBLERS.popitem(last=False)
     n = len(split)
     order = _epoch_rng(seed, epoch, 1).permutation(n)
     super_b = batch_size * accum_steps

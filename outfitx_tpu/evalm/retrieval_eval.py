@@ -21,15 +21,28 @@ from outfitx_tpu.data.sampler import CandidatePools
 
 
 @jax.jit
-def _batched_topk_50(queries, pools):
-    """queries (C, Q, D), pools (C, P, D) -> top-min(50, P) indices."""
-    qf = queries.astype(jnp.float32)
-    pf = pools.astype(jnp.float32)
-    q2 = jnp.sum(qf * qf, axis=-1)[:, :, None]
-    p2 = jnp.sum(pf * pf, axis=-1)[:, None, :]
-    cross = jnp.einsum("cqd,cpd->cqp", qf, pf, preferred_element_type=jnp.float32)
-    d2 = q2 + p2 - 2.0 * cross
-    _, idx = jax.lax.top_k(-d2, min(50, pools.shape[1]))
+def _streamed_topk_50(catalog, queries, pool_rows):
+    """queries (C, Q, D), pool_rows (C, P) i32 -> top-min(50, P) indices.
+
+    The pools are gathered from the catalog ONE CATEGORY AT A TIME inside a
+    `lax.scan`, so recall eval adds O(one pool) HBM — ~18 MB at reference
+    scale — instead of materializing a (C, P, D) copy next to the catalog
+    (~1.1 GB at 60 pools x 3000 x 1536 f32; VERDICT r3 item 7). Each scan
+    step is still one (Q, D) x (D, P) MXU matmul + top-k."""
+
+    def body(_, xs):
+        q, rows = xs  # (Q, D), (P,)
+        pool = jnp.take(catalog, rows, axis=0)  # (P, D) — one pool in HBM
+        qf = q.astype(jnp.float32)
+        pf = pool.astype(jnp.float32)
+        q2 = jnp.sum(qf * qf, axis=-1)[:, None]
+        p2 = jnp.sum(pf * pf, axis=-1)[None, :]
+        cross = jnp.dot(qf, pf.T, preferred_element_type=jnp.float32)
+        d2 = q2 + p2 - 2.0 * cross
+        _, idx = jax.lax.top_k(-d2, min(50, pool.shape[0]))
+        return (), idx
+
+    _, idx = jax.lax.scan(body, (), (queries, pool_rows))
     return idx
 
 
@@ -65,8 +78,13 @@ def recall_over_pools(
             gt[ci, qi] = pos_map.get(int(pos_rows[i]), -1)
             valid[ci, qi] = True
 
-    pool_emb = jnp.take(catalog_embeddings, jnp.asarray(pool_rows), axis=0)
-    top_idx = np.asarray(_batched_topk_50(jnp.asarray(queries), pool_emb))
+    top_idx = np.asarray(
+        _streamed_topk_50(
+            catalog_embeddings,
+            jnp.asarray(queries),
+            jnp.asarray(pool_rows, dtype=jnp.int32),
+        )
+    )
 
     n_valid = valid.sum()
     out = {}

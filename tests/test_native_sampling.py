@@ -158,3 +158,35 @@ class TestNegativeBatchSampler:
             sampler, pos, k=5, seed=7, epoch=3, impl=impl
         )
         assert not np.array_equal(neg, neg3)
+
+
+class TestAssemblerCacheLRU:
+    """The assembler cache must stay bounded (ADVICE r3: strong refs keyed
+    by id() were never evicted) and evict identity-check failures."""
+
+    def test_bounded(self):
+        from outfitx_tpu.data import sampler as S
+
+        S._NATIVE_ASSEMBLERS.clear()
+        synths = [
+            make_synthetic(n_items=200, d_embed=8, n_outfits=256, seed=i)
+            for i in range(S._NATIVE_ASSEMBLERS_MAX + 2)
+        ]
+        for sy in synths:
+            assert _batches(sy, "native")
+        assert len(S._NATIVE_ASSEMBLERS) <= S._NATIVE_ASSEMBLERS_MAX
+        S._NATIVE_ASSEMBLERS.clear()
+
+    def test_aliased_key_evicted_and_rebuilt(self, synth):
+        from outfitx_tpu.data import sampler as S
+
+        S._NATIVE_ASSEMBLERS.clear()
+        _batches(synth, "native")
+        (key, (spl, cat, asm)) = next(iter(S._NATIVE_ASSEMBLERS.items()))
+        # simulate an id()-recycled alias: same key, different objects
+        other = make_synthetic(n_items=200, d_embed=8, n_outfits=256, seed=99)
+        S._NATIVE_ASSEMBLERS[key] = (other.cir_train, other.catalog, asm)
+        _batches(synth, "native")  # identity check fails -> evict + rebuild
+        stored = S._NATIVE_ASSEMBLERS[key]
+        assert stored[0] is synth.cir_train and stored[1] is synth.catalog
+        S._NATIVE_ASSEMBLERS.clear()
