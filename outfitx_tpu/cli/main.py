@@ -58,6 +58,11 @@ _common = [
     click.option("--encoder", type=click.Choice(["siglip", "clip", "resnet_sbert"]), default="siglip"),
     click.option("--resume", default=None, help="checkpoint tag/path to resume from"),
     click.option("--profile-dir", default=None, help="write a jax.profiler trace of epoch 1"),
+    click.option("--remat", is_flag=True,
+                 help="jax.checkpoint the encoder layers (required for the "
+                 "reference batch-3072 envelope on 16 GB HBM)"),
+    click.option("--save-every", type=int, default=None,
+                 help="save a rolling 'latest' resume checkpoint every N epochs"),
 ]
 
 
@@ -87,6 +92,8 @@ def _build_cfg(cls, kw, **extra):
         overrides["accumulation_steps"] = kw["accum"]
     if kw.get("log_dir") is not None:
         overrides["log_dir"] = kw["log_dir"]
+    if kw.get("save_every") is not None:
+        overrides["save_every_epochs"] = kw["save_every"]
     cfg = cls(**overrides)
     if kw["lr"] is not None:
         cfg = dataclasses.replace(
@@ -99,7 +106,8 @@ def _model_cfg(kw) -> OutfitXConfig:
     from outfitx_tpu.core.config import ItemEncoderConfig
 
     return OutfitXConfig(
-        item_encoder=ItemEncoderConfig.for_type(kw["encoder"])
+        item_encoder=ItemEncoderConfig.for_type(kw["encoder"]),
+        remat=bool(kw.get("remat")),
     )
 
 
@@ -290,7 +298,11 @@ def demo(port, synthetic, mock, quantized, exact_topk, coalesce_ms):
               help="orbax checkpoint dir (e.g. checkpoints/<run>/best_auc)")
 @click.option("--out", "out_path", required=True,
               help=".pth output in the reference's checkpoint format")
-def export_torch(params_path, out_path):
+@click.option("--towers-from", default=None,
+              help="reference-side .pth holding the frozen item_encoder.* "
+              "tensors to merge so the reference's strict load_state_dict "
+              "succeeds (else load with strict=False; see MIGRATION.md)")
+def export_torch(params_path, out_path, towers_from):
     """Export trained params to the reference system's .pth format.
 
     The reference's own trainers/demo load the result via
@@ -298,7 +310,9 @@ def export_torch(params_path, out_path):
     there (validated bit-for-bit in PARITY.md §6)."""
     from outfitx_tpu.models.export_torch import export_reference_checkpoint
 
-    out = export_reference_checkpoint(params_path, out_path)
+    out = export_reference_checkpoint(
+        params_path, out_path, towers_from=towers_from
+    )
     click.echo(json.dumps({"exported": str(out)}))
 
 

@@ -73,7 +73,10 @@ def reference_state_dict(params) -> "Dict[str, object]":
 
 
 def export_reference_checkpoint(
-    ckpt_path: str | pathlib.Path, out: str | pathlib.Path
+    ckpt_path: str | pathlib.Path,
+    out: str | pathlib.Path,
+    *,
+    towers_from: str | pathlib.Path | None = None,
 ) -> pathlib.Path:
     """Orbax checkpoint -> reference-format ``.pth``.
 
@@ -81,6 +84,23 @@ def export_reference_checkpoint(
     (distributed_trainer.py:427-454); non-model entries are None — the
     reference's ``only_load_model=True`` path (and its demo/eval loaders)
     read only ``model``/``epoch``.
+
+    Strict-loading compatibility: in a stock reference install the frozen
+    towers ARE registered nn.Modules, so ``OutfitX.state_dict()`` contains
+    ``item_encoder.*`` keys and the reference's loaders call
+    ``load_state_dict(ckpt['model'])`` with the strict default
+    (distributed_trainer.py:470, demo/app.py:103) — which raises on a
+    set-transformer-only export. Two supported paths (MIGRATION.md):
+
+    - ``towers_from``: any reference-side checkpoint containing the
+      ``item_encoder.*`` tensors (every checkpoint the reference itself
+      saves has them; one can be produced in a stock env with
+      ``torch.save({'model': OutfitX(cfg).state_dict()}, 'towers.pth')``).
+      Those frozen public-pretrained tensors are merged into the export so
+      strict loading succeeds.
+    - without it, load with ``strict=False`` — safe here because the
+      missing keys are exactly the frozen towers that ``OutfitX.__init__``
+      just constructed from their public checkpoints.
     """
     import torch
 
@@ -89,13 +109,27 @@ def export_reference_checkpoint(
     p = pathlib.Path(ckpt_path)
     mgr = CheckpointManager(p.parent.parent, p.parent.name)
     payload = mgr.restore(p.name)
+    model_sd = reference_state_dict(payload["params"])
+    if towers_from is not None:
+        donor = torch.load(towers_from, map_location="cpu", weights_only=False)
+        donor_sd = donor.get("model", donor) if isinstance(donor, dict) else donor
+        towers = {
+            k: v
+            for k, v in donor_sd.items()
+            if k.startswith("item_encoder.")
+        }
+        if not towers:
+            raise ValueError(
+                f"{towers_from} holds no item_encoder.* keys to merge"
+            )
+        model_sd.update(towers)
     out = pathlib.Path(out)
     out.parent.mkdir(parents=True, exist_ok=True)
     torch.save(
         {
             "epoch": int(payload.get("meta", {}).get("epoch", 0)),
             "config": None,
-            "model": reference_state_dict(payload["params"]),
+            "model": model_sd,
             "optimizer": None,
             "scheduler": None,
             "scaler": None,

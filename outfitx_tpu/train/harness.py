@@ -169,6 +169,7 @@ class Trainer(abc.ABC):
                 self.log_metrics("train", epoch, train_metrics)
                 self.log_metrics("valid", epoch, valid_metrics)
                 self.log(f"epoch {epoch} done in {dt:.1f}s")
+                self.maybe_save_latest(epoch)
                 result = valid_metrics
             return result
         if self.run_mode == "test":
@@ -209,6 +210,30 @@ class Trainer(abc.ABC):
                     best=self.best.best,
                 )
                 self.log(f"saved best_{name} ({value:.5f}) at epoch {epoch}")
+
+    def maybe_save_latest(self, epoch: int) -> None:
+        """Rolling resume point every ``cfg.save_every_epochs`` epochs: full
+        state (params + opt_state + step + best-so-far), overwritten in
+        place, so a relay drop mid-campaign costs at most N epochs."""
+        every = getattr(self.cfg, "save_every_epochs", 0)
+        if not every or (epoch + 1) % every:
+            return
+        state = getattr(self, "state", None)
+        if state is None or self.ckpt is None:
+            return
+        t0 = time.perf_counter()
+        self.ckpt.save(
+            "latest",
+            params=state.params,
+            opt_state=state.opt_state,
+            step=int(state.step),
+            epoch=epoch,
+            config=self.cfg,
+            best=self.best.best,
+        )
+        self.log(
+            f"saved latest (epoch {epoch}) in {time.perf_counter()-t0:.1f}s"
+        )
 
     def resume(self, tag_or_path: str = "final") -> None:
         """Restore params (+opt_state/step/epoch when present) and continue

@@ -34,6 +34,8 @@ def generate(
     items: int = 20_000,
     d_embed: int = 1536,
     outfits: int = 8_000,
+    cir_outfits: int = 0,  # 0: same as outfits (CP and CIR splits sized alike)
+    categories: int = 0,  # 0: auto (few categories, all pool-eligible)
     model_name: str = "outfitx-tpu-siglip-d1536",
     seed: int = 0,
     image_size: int = 0,  # >0: also write images/{id}.jpg at this size
@@ -54,7 +56,8 @@ def generate(
     n, d = args.items, args.d_embed
     # few categories so each clears the reference's >=3000-item
     # large-category threshold for CIR eval (SURVEY.md 2.3)
-    n_styles, n_cats = 24, max(2, min(6, args.items // 3500))
+    n_styles = 24
+    n_cats = categories or max(2, min(6, args.items // 3500))
     sem_names = ["tops", "bottoms", "shoes", "bags", "outerwear", "jewellery"]
     styles = rng.standard_normal((n_styles, d)).astype(np.float32)
     item_style = rng.integers(0, n_styles, n)
@@ -132,9 +135,14 @@ def generate(
             )
         return rows
 
-    for mode, cnt in [("train", args.outfits), ("valid", args.outfits // 8), ("test", args.outfits // 8)]:
+    n_cir = cir_outfits or args.outfits
+    for mode, cnt, cir_cnt in [
+        ("train", args.outfits, n_cir),
+        ("valid", args.outfits // 8, n_cir // 8),
+        ("test", args.outfits // 8, n_cir // 8),
+    ]:
         (t / "compatibility" / f"{mode}.json").write_text(json.dumps(cp_rows(cnt)))
-        (t / f"{mode}.json").write_text(json.dumps(outfit_rows(cnt)))
+        (t / f"{mode}.json").write_text(json.dumps(outfit_rows(cir_cnt)))
     (t / "fill_in_the_blank" / "test.json").write_text(
         json.dumps(fitb_rows(args.outfits // 8))
     )
@@ -164,14 +172,17 @@ def main() -> None:
     ap.add_argument("--items", type=int, default=20_000)
     ap.add_argument("--d-embed", type=int, default=1536)
     ap.add_argument("--outfits", type=int, default=8_000)
+    ap.add_argument("--cir-outfits", type=int, default=0)
+    ap.add_argument("--categories", type=int, default=0)
     ap.add_argument("--model-name", default="outfitx-tpu-siglip-d1536")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--image-size", type=int, default=0)
     args = ap.parse_args()
     generate(
         args.out, items=args.items, d_embed=args.d_embed,
-        outfits=args.outfits, model_name=args.model_name, seed=args.seed,
-        image_size=args.image_size,
+        outfits=args.outfits, cir_outfits=args.cir_outfits,
+        categories=args.categories, model_name=args.model_name,
+        seed=args.seed, image_size=args.image_size,
     )
 
 

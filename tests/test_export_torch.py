@@ -173,3 +173,55 @@ class TestCheckpointExport:
         )
         assert res.exit_code == 0, res.output
         assert out.exists()
+
+    def test_towers_from_merges_frozen_tower_keys(self, setup, tmp_path):
+        """ADVICE r3 (medium): a stock reference install registers the
+        frozen towers as submodules, so its default-strict
+        load_state_dict needs item_encoder.* keys. --towers-from merges
+        them from any reference-side checkpoint."""
+        cfg, model, params, _ = setup
+        from outfitx_tpu.train.checkpoint import CheckpointManager
+
+        class _RefWithTowers(_RefStack):
+            def __init__(self, cfg):
+                super().__init__(cfg)
+                # stand-in for the frozen tower submodules (SigLIP etc.)
+                self.item_encoder = nn.Sequential(nn.Linear(4, 4))
+
+        donor = _RefWithTowers(cfg)
+        donor_path = tmp_path / "towers.pth"
+        torch.save({"model": donor.state_dict()}, donor_path)
+
+        mgr = CheckpointManager(tmp_path, "run2")
+        mgr.save("best_auc", params=params, epoch=3)
+        out = export_reference_checkpoint(
+            tmp_path / "run2" / "best_auc",
+            tmp_path / "export" / "merged.pth",
+            towers_from=donor_path,
+        )
+        payload = torch.load(out, weights_only=True)
+        target = _RefWithTowers(cfg)
+        missing, unexpected = target.load_state_dict(
+            payload["model"], strict=True
+        )
+        assert not missing and not unexpected
+        # the merged tower tensors are the donor's, bit-for-bit
+        np.testing.assert_array_equal(
+            payload["model"]["item_encoder.0.weight"].numpy(),
+            donor.state_dict()["item_encoder.0.weight"].numpy(),
+        )
+
+    def test_towers_from_without_tower_keys_raises(self, setup, tmp_path):
+        cfg, model, params, _ = setup
+        from outfitx_tpu.train.checkpoint import CheckpointManager
+
+        donor_path = tmp_path / "no_towers.pth"
+        torch.save({"model": _RefStack(cfg).state_dict()}, donor_path)
+        mgr = CheckpointManager(tmp_path, "run3")
+        mgr.save("final", params=params, epoch=0)
+        with pytest.raises(ValueError, match="item_encoder"):
+            export_reference_checkpoint(
+                tmp_path / "run3" / "final",
+                tmp_path / "export" / "x.pth",
+                towers_from=donor_path,
+            )
