@@ -150,3 +150,47 @@ def test_legacy_unfused_checkpoint_restores(tmp_path):
     a = model.cp_forward(params, emb, mask)
     b = model.cp_forward(restored, emb, mask)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_save_every_latest_rolling_resume(tmp_path):
+    """cfg.save_every_epochs writes a rolling 'latest' (params + opt_state
+    + epoch + best-so-far) that a killed multi-hour campaign resumes from
+    losslessly (the envelope runner's crash-recovery path)."""
+    synth = make_synthetic(n_items=300, d_embed=32, n_outfits=256, seed=17)
+    model_cfg = OutfitXConfig(
+        item_encoder=ItemEncoderConfig(dim_per_modality=16),
+        transformer=TransformerConfig(n_heads=4, d_ffn=64, n_layers=2, dropout=0.1),
+        max_outfit_len=8,
+        compute_dtype="float32",
+    )
+    cfg = CPTrainConfig(
+        n_epochs=3,
+        batch_size=64,
+        accumulation_steps=1,
+        save_every_epochs=2,
+        optimizer=OptimizerConfig(learning_rate=1e-3),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        log_dir=str(tmp_path / "logs"),
+    )
+    kw = dict(
+        catalog=synth.catalog,
+        train_split=synth.cp_train,
+        valid_split=synth.cp_valid,
+    )
+    with CPTrainer(cfg, model_cfg, **kw) as t:
+        t.run()
+        # 'latest' exists and was written at epoch 1 (the 2nd epoch)
+        assert t.ckpt.exists("latest")
+
+    # a "crashed" run resumes from latest: epoch 2, best-so-far restored
+    with CPTrainer(dataclasses.replace(cfg, n_epochs=4), model_cfg, **kw) as t2:
+        t2.resume("latest")
+        assert t2.epoch == 2
+        assert int(t2.state.step) > 0
+        # best-so-far (as of the save epoch) restored, so the first
+        # post-resume eval cannot clobber a better best_* checkpoint
+        assert t2.best.best and all(
+            np.isfinite(v) for v in t2.best.best.values()
+        )
+        metrics = t2.run()
+    assert np.isfinite(metrics["loss"])
