@@ -208,18 +208,41 @@ class OutfitXModel:
         )
         a = lp["attn"]
 
-        # Fused QKV: one (B*S, d) x (d, 3d) matmul feeding all three heads'
-        # projections (better MXU occupancy than three d x d matmuls).
-        w = a["wqkv"].astype(y.dtype).reshape(d, 3 * d)
-        qkv = jnp.dot(y, w).reshape(b, s, 3, d) + a["bqkv"].astype(y.dtype)
-        qkv = constrain(qkv, P("data", None, None, "model"))
-        qkv = qkv.reshape(b, s, 3, h, dh).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]  # (B,H,S,Dh) each
-        o = masked_mha(q, k, v, pad_mask)  # (B,H,S,Dh)
-        o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
-        o = jnp.dot(o, a["wo"].astype(o.dtype)) + a["bo"].astype(o.dtype)
-        o = constrain(o, P("data", None, None))
-        x = x + dropout(k1, o)
+        from outfitx_tpu.ops.attn_block import (
+            attn_block,
+            fused_attn_block_enabled,
+        )
+
+        if deterministic and fused_attn_block_enabled():
+            # OUTFITX_ATTN_BLOCK=fused: QKV projection + attention +
+            # out-projection in ONE Pallas kernel — no HBM materialization
+            # of the (B, S, 3, d) qkv tensor or its head transposes
+            # (ops/attn_block.py). Eval/serving forward only (no VJP);
+            # single-program contexts (not TP-sharded).
+            o = attn_block(
+                y,
+                a["wqkv"].astype(y.dtype),
+                a["bqkv"].astype(y.dtype),
+                a["wo"].astype(y.dtype),
+                pad_mask,
+                h,
+            ).astype(y.dtype) + a["bo"].astype(y.dtype)
+            o = constrain(o, P("data", None, None))
+            x = x + o
+        else:
+            # Fused QKV: one (B*S, d) x (d, 3d) matmul feeding all three
+            # heads' projections (better MXU occupancy than three d x d
+            # matmuls).
+            w = a["wqkv"].astype(y.dtype).reshape(d, 3 * d)
+            qkv = jnp.dot(y, w).reshape(b, s, 3, d) + a["bqkv"].astype(y.dtype)
+            qkv = constrain(qkv, P("data", None, None, "model"))
+            qkv = qkv.reshape(b, s, 3, h, dh).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]  # (B,H,S,Dh) each
+            o = masked_mha(q, k, v, pad_mask)  # (B,H,S,Dh)
+            o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
+            o = jnp.dot(o, a["wo"].astype(o.dtype)) + a["bo"].astype(o.dtype)
+            o = constrain(o, P("data", None, None))
+            x = x + dropout(k1, o)
         if not norm_first:
             x = layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"])
 

@@ -1,0 +1,168 @@
+"""Fully-fused set-attention BLOCK: QKV projection + masked attention +
+out-projection in ONE Pallas kernel (eval/serving forward path).
+
+Motivation (BENCHMARKS.md attention studies): at the flagship shape
+(L=17, d=1536) the decomposed path materializes per layer, in HBM,
+(a) the fused-QKV matmul output (B, L, 3, d) — ~640 MB at B=4096 bf16,
+(b) its transposed (3, B, H, L, Dh) copy feeding the attention kernel,
+(c) the attention output and its transpose back to (B, L, d) for the
+out-projection. The matmul FLOPs hide none of this traffic because the
+per-head matmuls are tiny. This kernel keeps the whole chain VMEM-resident
+per (batch-tile, head) program and accumulates the out-projection across
+the sequential head grid axis — HBM sees exactly one read of the block
+input and one write of the block output.
+
+Weight layout: the (d, 3, d) fused wqkv is re-arranged at APPLY time to
+(3, H, d, Dh) and wo to (H, Dh, d) — transposing WEIGHTS is ~14 MB once
+per call vs the ~1.7 GB of activation transposes it replaces.
+
+Scope: forward only (no custom VJP) — the training path keeps the
+decomposed kernels whose fused backward is measured; this block serves
+the deterministic forward (serving, precompute-style sweeps, bench).
+Opt-in: OUTFITX_ATTN_BLOCK=fused routes OutfitXModel's eval-mode layer
+through it (models/outfit_transformer.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from outfitx_tpu.ops.common import cdiv, round_up, use_interpret
+
+_NEG = -1e9
+
+
+def _attn_block_kernel(
+    y_ref,  # (TB, L, d)        — block input (post-LN), constant over j
+    w_ref,  # (3, 1, d, Dh)     — head j's q/k/v projection slices
+    b_ref,  # (3, 1, 1, Dh)     — head j's q/k/v biases
+    wo_ref,  # (1, Dh, d)       — head j's out-projection rows
+    mask_ref,  # (TB, 1, L)     — key-padding mask (True = pad)
+    o_ref,  # (TB, L, d) f32    — accumulated across the head grid axis
+):
+    j = pl.program_id(1)
+    y = y_ref[...]  # (TB, L, d)
+    tb, l, d = y.shape
+    w = w_ref[:, 0]  # (3, d, Dh)
+    b = b_ref[:, 0, 0]  # (3, Dh)
+    dh = w.shape[-1]
+    y2 = y.reshape(tb * l, d)
+
+    def proj(i):
+        return (
+            jax.lax.dot(y2, w[i], preferred_element_type=jnp.float32)
+            .astype(y.dtype)
+            .reshape(tb, l, dh)
+            + b[i].astype(y.dtype)
+        )
+
+    q, k, v = proj(0), proj(1), proj(2)
+    scores = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * (1.0 / (dh**0.5))  # (TB, L, L) f32
+    scores = jnp.where(mask_ref[...], _NEG, scores)
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores)
+    probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+    ctx = jax.lax.dot_general(
+        probs, v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(y.dtype)  # (TB, L, Dh)
+    part = jax.lax.dot(
+        ctx.reshape(tb * l, dh), wo_ref[0],
+        preferred_element_type=jnp.float32,
+    ).reshape(tb, l, d)  # head j's out-projection contribution, f32
+
+    @pl.when(j == 0)
+    def _init():
+        o_ref[...] = part
+
+    @pl.when(j > 0)
+    def _accum():
+        o_ref[...] += part
+
+
+def attn_block(y, wqkv, bqkv, wo, pad_mask, n_heads: int, *, tile_b: int = 32):
+    """One-kernel attention block: returns ``out_proj(MHA(y @ wqkv))``.
+
+    y: (B, L, d) post-LN input; wqkv: (d, 3, d); bqkv: (3, d);
+    wo: (d, d); pad_mask: (B, L) bool True = pad. Returns (B, L, d) f32
+    (the out-projection bias and residual/dropout stay with the caller).
+    Numerics match the decomposed path to f32-accumulation order.
+    """
+    import os
+
+    b, l, d = y.shape
+    h = n_heads
+    dh = d // h
+    env_tile = int(os.environ.get("OUTFITX_ATTN_TILE", "0"))
+    if env_tile:
+        tile_b = env_tile  # explicit probe override, unguarded
+    else:
+        # VMEM ceiling: the f32 output accumulator (TB, L, d) + resident
+        # bf16 input (TB, L, d) dominate (6 bytes/elem combined) — halve
+        # the tile until they fit comfortably inside the 16 MB scoped
+        # stack next to the per-head temporaries.
+        while tile_b > 1 and tile_b * l * d * 6 > 12 * 2**20:
+            tile_b //= 2
+    # weight re-layout (cheap: weights, not activations)
+    w = wqkv.reshape(d, 3, h, dh).transpose(1, 2, 0, 3)  # (3, H, d, Dh)
+    bq = bqkv.reshape(3, h, 1, dh)  # (3, H, 1, Dh)
+    wo_h = wo.reshape(h, dh, d)  # (H, Dh, d)
+
+    tile_b = max(1, min(tile_b, b))
+    pad_b = round_up(b, tile_b)
+    if pad_b != b:
+        y = jnp.pad(y, ((0, pad_b - b), (0, 0), (0, 0)))
+        mrow = (
+            jnp.ones((pad_b - b, l), dtype=pad_mask.dtype).at[:, 0].set(False)
+        )
+        pad_mask = jnp.concatenate([pad_mask, mrow], axis=0)
+    grid = (cdiv(pad_b, tile_b), h)
+    out = pl.pallas_call(
+        _attn_block_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (tile_b, l, d), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, 1, d, dh), lambda i, j: (0, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, 1, 1, dh), lambda i, j: (0, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, dh, d), lambda i, j: (j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_b, 1, l), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_b, l, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((pad_b, l, d), jnp.float32),
+        interpret=use_interpret(),
+    )(y, w, bq, wo_h, pad_mask[:, None, :])
+    return out[:b]
+
+
+@functools.cache
+def fused_attn_block_enabled() -> bool:
+    import os
+
+    return os.environ.get("OUTFITX_ATTN_BLOCK", "") == "fused"

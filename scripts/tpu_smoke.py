@@ -136,6 +136,37 @@ def main() -> int:
         5e-2,
     )
 
+    # Fused attention BLOCK (qkv proj + MHA + out proj in one kernel)
+    from outfitx_tpu.ops.attn_block import attn_block
+
+    bb_, lb, db, hb = 256, 17, 1536, 16
+    yb = jnp.asarray(
+        rng.standard_normal((bb_, lb, db)), dtype=jnp.bfloat16
+    )
+    wq = jnp.asarray(
+        rng.standard_normal((db, 3, db)) * 0.02, dtype=jnp.bfloat16
+    )
+    bq = jnp.asarray(rng.standard_normal((3, db)) * 0.02, dtype=jnp.bfloat16)
+    wo = jnp.asarray(rng.standard_normal((db, db)) * 0.02, dtype=jnp.bfloat16)
+    mb = jnp.asarray(
+        np.arange(lb)[None, :] >= rng.integers(2, lb + 1, size=(bb_, 1))
+    )
+
+    def block_ref(y, wq, bq, wo, m):
+        qkv = jnp.dot(y, wq.reshape(db, 3 * db)).reshape(bb_, lb, 3, db) + bq
+        qkv = qkv.reshape(bb_, lb, 3, hb, db // hb).transpose(2, 0, 3, 1, 4)
+        o = _mha_reference(qkv[0], qkv[1], qkv[2], m)
+        return jnp.dot(
+            o.transpose(0, 2, 1, 3).reshape(bb_, lb, db), wo
+        ).astype(jnp.float32)
+
+    check(
+        "pallas fused attn block (L=17)",
+        jax.jit(lambda *a: attn_block(*a, hb))(yb, wq, bq, wo, mb),
+        block_ref(yb, wq, bq, wo, mb),
+        5e-2,
+    )
+
     # Pallas LayerNorm vs XLA
     x = jnp.asarray(rng.standard_normal((1024, 1536)), dtype=jnp.float32)
     s = jnp.asarray(rng.standard_normal(1536), dtype=jnp.float32)

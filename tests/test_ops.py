@@ -526,3 +526,74 @@ class TestCausalPallasAttention:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
         )
+
+
+class TestFusedAttnBlock:
+    """One-kernel QKV-projection + attention + out-projection
+    (ops/attn_block.py, OUTFITX_ATTN_BLOCK=fused): must reproduce the
+    decomposed eval path numerically (interpret mode here; on-chip checks
+    in scripts/tpu_smoke.py)."""
+
+    def _decomposed(self, y, wqkv, bqkv, wo, mask, h):
+        from outfitx_tpu.ops.attention import _mha_reference
+
+        b, l, d = y.shape
+        dh = d // h
+        qkv = jnp.dot(y, wqkv.reshape(d, 3 * d)).reshape(b, l, 3, d) + bqkv
+        qkv = qkv.reshape(b, l, 3, h, dh).transpose(2, 0, 3, 1, 4)
+        o = _mha_reference(qkv[0], qkv[1], qkv[2], mask)
+        o = o.transpose(0, 2, 1, 3).reshape(b, l, d)
+        return jnp.dot(o, wo)
+
+    @pytest.mark.parametrize("tile_b", [4, 32])
+    def test_matches_decomposed(self, rng, tile_b):
+        from outfitx_tpu.ops.attn_block import attn_block
+
+        b, l, d, h = 6, 9, 64, 4
+        y = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+        wqkv = jnp.asarray(rng.standard_normal((d, 3, d)) * 0.1, jnp.float32)
+        bqkv = jnp.asarray(rng.standard_normal((3, d)) * 0.1, jnp.float32)
+        wo = jnp.asarray(rng.standard_normal((d, d)) * 0.1, jnp.float32)
+        lengths = rng.integers(2, l + 1, size=(b, 1))
+        mask = jnp.asarray(np.arange(l)[None, :] >= lengths)
+        got = attn_block(y, wqkv, bqkv, wo, mask, h, tile_b=tile_b)
+        want = self._decomposed(y, wqkv, bqkv, wo, mask, h)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4
+        )
+
+    def test_model_eval_route_matches(self, rng, monkeypatch):
+        """OUTFITX_ATTN_BLOCK=fused gives the same cp_forward as the
+        decomposed eval path on the full model."""
+        import dataclasses
+
+        from outfitx_tpu.core.config import (
+            ItemEncoderConfig,
+            OutfitXConfig,
+            TransformerConfig,
+        )
+        from outfitx_tpu.models import OutfitXModel
+        from outfitx_tpu.ops import attn_block as AB
+
+        cfg = OutfitXConfig(
+            item_encoder=ItemEncoderConfig(dim_per_modality=32),
+            transformer=TransformerConfig(n_heads=4, d_ffn=96, n_layers=2),
+            max_outfit_len=8,
+            compute_dtype="float32",
+        )
+        model = OutfitXModel(cfg)
+        params = model.init(jax.random.PRNGKey(0))
+        emb = jnp.asarray(rng.standard_normal((5, 8, 64)), jnp.float32)
+        lengths = rng.integers(1, 9, size=(5, 1))
+        mask = jnp.asarray(np.arange(8)[None, :] >= lengths)
+        want = model.cp_forward(params, emb, mask)
+        monkeypatch.setenv("OUTFITX_ATTN_BLOCK", "fused")
+        AB.fused_attn_block_enabled.cache_clear()
+        try:
+            got = model.cp_forward(params, emb, mask)
+        finally:
+            monkeypatch.delenv("OUTFITX_ATTN_BLOCK")
+            AB.fused_attn_block_enabled.cache_clear()
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4
+        )
