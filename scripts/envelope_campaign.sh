@@ -79,4 +79,9 @@ python -m outfitx_tpu.cli fitb \
   >> "$LOGDIR/fitb.out" 2>&1 || { record fitb failed "$t0" "$(date +%s)" 1; exit 1; }
 record fitb ok "$t0" "$(date +%s)" 1
 
+# pin the committed record: phase wall-clocks + full metric trajectories
+ART=/root/repo/parity_artifacts/envelope
+mkdir -p "$ART"
+cp "$PHASES" "$ART/" 2>/dev/null
+cp "$LOGDIR"/*_metrics.jsonl "$ART/" 2>/dev/null
 echo "=== ENVELOPE CAMPAIGN DONE ==="
