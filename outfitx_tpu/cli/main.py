@@ -114,8 +114,12 @@ def _model_cfg(kw) -> OutfitXConfig:
 @click.group()
 def cli() -> None:
     """OutfitX-TPU command line."""
-    from outfitx_tpu.core.runtime import enable_compilation_cache
+    from outfitx_tpu.core.runtime import (
+        enable_compilation_cache,
+        force_platform_from_env,
+    )
 
+    force_platform_from_env()
     enable_compilation_cache()
 
 

@@ -54,6 +54,24 @@ def apply_env_flags() -> None:
         enable_fast_prng()
 
 
+def force_platform_from_env() -> None:
+    """Make ``JAX_PLATFORMS=cpu python -m outfitx_tpu.cli ...`` reliable.
+
+    In environments where a sitecustomize imports jax (and may pin the
+    platform) before user code runs, the JAX_PLATFORMS *environment
+    variable* alone is not honored — only a config-level update is (same
+    reason tests/conftest.py calls ``jax.config.update``). Entry points
+    call this so an explicit env choice always wins; a no-op when the
+    config already matches or the variable is unset."""
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if not plat:
+        return
+    import jax
+
+    if jax.config.jax_platforms != plat:
+        jax.config.update("jax_platforms", plat)
+
+
 #: Site dirs whose ``sitecustomize`` registers an out-of-tree PJRT plugin
 #: (the axon TPU relay in this environment). A user-supplied PYTHONPATH
 #: replaces rather than extends the ambient one, silently un-registering

@@ -181,3 +181,33 @@ class TestRestoreShadowedSiteDirs:
         env = {}
         assert runtime.restore_shadowed_site_dirs(env) == [str(site)]
         assert env["PYTHONPATH"] == str(site)
+
+
+class TestForcePlatformFromEnv:
+    """JAX_PLATFORMS in the environment must win even when a sitecustomize
+    imported jax (and pinned a platform) before user code ran — observed
+    with the axon relay: `JAX_PLATFORMS=cpu python -m outfitx_tpu.cli`
+    still initialized the TPU backend until the CLI applied the env choice
+    at the config level (the same reason conftest.py calls config.update)."""
+
+    def test_env_choice_applied_at_config_level(self, monkeypatch):
+        import jax
+
+        from outfitx_tpu.core import runtime
+
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+        runtime.force_platform_from_env()
+        assert jax.config.jax_platforms == "cpu"
+        # idempotent when config already matches
+        runtime.force_platform_from_env()
+        assert jax.config.jax_platforms == "cpu"
+
+    def test_noop_when_unset(self, monkeypatch):
+        import jax
+
+        from outfitx_tpu.core import runtime
+
+        monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+        before = jax.config.jax_platforms
+        runtime.force_platform_from_env()
+        assert jax.config.jax_platforms == before
