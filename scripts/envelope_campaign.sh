@@ -55,6 +55,19 @@ run_phase() { # name cmd... ; retries with --resume latest when a checkpoint exi
   done
 }
 
+# Continuously pin the committed record (phase wall-clocks + metric
+# trajectories) so a round boundary mid-campaign still leaves the partial
+# trajectories in the repo (logs/ itself is gitignored).
+ART=/root/repo/parity_artifacts/envelope
+sync_artifacts() {
+  mkdir -p "$ART"
+  cp "$PHASES" "$ART/" 2>/dev/null
+  cp "$LOGDIR"/*_metrics.jsonl "$ART/" 2>/dev/null
+}
+( while :; do sleep 600; sync_artifacts; done ) &
+SYNC_PID=$!
+trap 'kill $SYNC_PID 2>/dev/null' EXIT
+
 if [ ! -f "$DS/item_metadata.json" ]; then
   t0=$(date +%s)
   python scripts/make_synthetic_polyvore.py --out "$DS" \
@@ -79,9 +92,5 @@ python -m outfitx_tpu.cli fitb \
   >> "$LOGDIR/fitb.out" 2>&1 || { record fitb failed "$t0" "$(date +%s)" 1; exit 1; }
 record fitb ok "$t0" "$(date +%s)" 1
 
-# pin the committed record: phase wall-clocks + full metric trajectories
-ART=/root/repo/parity_artifacts/envelope
-mkdir -p "$ART"
-cp "$PHASES" "$ART/" 2>/dev/null
-cp "$LOGDIR"/*_metrics.jsonl "$ART/" 2>/dev/null
+sync_artifacts
 echo "=== ENVELOPE CAMPAIGN DONE ==="
