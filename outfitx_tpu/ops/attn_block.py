@@ -44,6 +44,8 @@ def _attn_block_kernel(
     wo_ref,  # (1, Dh, d)       — head j's out-projection rows
     mask_ref,  # (TB, 1, L)     — key-padding mask (True = pad)
     o_ref,  # (TB, L, d) f32    — accumulated across the head grid axis
+    *,
+    scale: float,
 ):
     j = pl.program_id(1)
     y = y_ref[...]  # (TB, L, d)
@@ -66,7 +68,7 @@ def _attn_block_kernel(
         q, k,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) * (1.0 / (dh**0.5))  # (TB, L, L) f32
+    ) * scale  # (TB, L, L) f32
     scores = jnp.where(mask_ref[...], _NEG, scores)
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores)
@@ -90,19 +92,35 @@ def _attn_block_kernel(
         o_ref[...] += part
 
 
-def attn_block(y, wqkv, bqkv, wo, pad_mask, n_heads: int, *, tile_b: int = 32):
+def attn_block(
+    y,
+    wqkv,
+    bqkv,
+    wo,
+    pad_mask,
+    n_heads: int,
+    *,
+    tile_b: int = 32,
+    scale: float | None = None,
+):
     """One-kernel attention block: returns ``out_proj(MHA(y @ wqkv))``.
 
     y: (B, L, d) post-LN input; wqkv: (d, 3, d); bqkv: (3, d);
     wo: (d, d); pad_mask: (B, L) bool True = pad. Returns (B, L, d) f32
     (the out-projection bias and residual/dropout stay with the caller).
     Numerics match the decomposed path to f32-accumulation order.
+    ``scale`` defaults to 1/sqrt(Dh) of the given weights; a lane-packing
+    probe with zero-padded heads must pass the REAL head dim's scale.
     """
     import os
 
     b, l, d = y.shape
     h = n_heads
-    dh = d // h
+    # Dh from the weight shape, not d//h: a lane-packing probe may carry
+    # per-head zero-padded projections (wqkv (d, 3, H*Dh') with Dh' > d/H,
+    # inert columns — scripts/bench_dh_pack.py); square reference weights
+    # give the usual d//h.
+    dh = wqkv.shape[2] // h
     env_tile = int(os.environ.get("OUTFITX_ATTN_TILE", "0"))
     if env_tile:
         tile_b = env_tile  # explicit probe override, unguarded
@@ -128,7 +146,10 @@ def attn_block(y, wqkv, bqkv, wo, pad_mask, n_heads: int, *, tile_b: int = 32):
         pad_mask = jnp.concatenate([pad_mask, mrow], axis=0)
     grid = (cdiv(pad_b, tile_b), h)
     out = pl.pallas_call(
-        _attn_block_kernel,
+        functools.partial(
+            _attn_block_kernel,
+            scale=float(scale) if scale is not None else 1.0 / (dh**0.5),
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(

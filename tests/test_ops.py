@@ -597,3 +597,38 @@ class TestFusedAttnBlock:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4
         )
+
+    def test_padded_dh_weights_inert(self, rng):
+        """Per-head Dh zero-padding (lane-packing probe, bench_dh_pack.py)
+        is exactly inert: zero q/k columns add 0 to scores, zero wo rows
+        discard the padded ctx columns."""
+        from outfitx_tpu.ops.attn_block import attn_block
+
+        b, l, d, h, dh, dhp = 5, 7, 64, 4, 16, 32
+        y = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+        wqkv = jnp.asarray(rng.standard_normal((d, 3, d)) * 0.1, jnp.float32)
+        bqkv = jnp.asarray(rng.standard_normal((3, d)) * 0.1, jnp.float32)
+        wo = jnp.asarray(rng.standard_normal((d, d)) * 0.1, jnp.float32)
+        mask = jnp.asarray(
+            np.arange(l)[None, :] >= rng.integers(2, l + 1, size=(b, 1))
+        )
+        base = attn_block(y, wqkv, bqkv, wo, mask, h)
+
+        w4 = np.zeros((d, 3, h, dhp), np.float32)
+        w4[..., :dh] = np.asarray(wqkv).reshape(d, 3, h, dh)
+        b4 = np.zeros((3, h, dhp), np.float32)
+        b4[..., :dh] = np.asarray(bqkv).reshape(3, h, dh)
+        wo4 = np.zeros((h, dhp, d), np.float32)
+        wo4[:, :dh] = np.asarray(wo).reshape(h, dh, d)
+        got = attn_block(
+            y,
+            jnp.asarray(w4.reshape(d, 3, h * dhp)),
+            jnp.asarray(b4.reshape(3, h * dhp)),
+            jnp.asarray(wo4.reshape(h * dhp, d)),
+            mask,
+            h,
+            scale=1.0 / (dh**0.5),  # the REAL head dim's scale
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(base), atol=1e-5, rtol=1e-5
+        )
