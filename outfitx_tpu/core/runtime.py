@@ -100,49 +100,82 @@ def restore_shadowed_site_dirs(env: dict | None = None) -> list[str]:
     return fixed
 
 
+def _devices_probe_ok(timeout_s: float) -> tuple[bool, str]:
+    """Probe ``jax.devices()`` in a child interpreter with a hard timeout.
+
+    Two observed outage modes of the axon relay: registration *raises*
+    ("Backend 'axon' is not in the list of known backends", ~1 h stretches)
+    and device init *hangs* indefinitely (2026-08-18, multi-hour). An
+    in-process ``jax.devices()`` call cannot be interrupted once it hangs,
+    so entry points probe via a child first — the child converts a hang
+    into a bounded failure and exits cleanly (releasing any partial relay
+    claim) before the parent initializes for real."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+            text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"device init hung >{timeout_s:.0f}s"
+    if r.returncode != 0:
+        tail = (r.stderr or r.stdout or "").strip().splitlines()
+        return False, tail[-1][-200:] if tail else f"exit {r.returncode}"
+    return True, ""
+
+
 def retry_if_backend_down(
-    max_retries: int = 10, sleep_s: float = 60.0
+    max_retries: int = 10,
+    sleep_s: float = 60.0,
+    probe_timeout_s: float | None = None,
 ) -> None:
-    """Re-exec the current script (bounded) when the TPU backend failed to
-    register.
+    """Re-exec the current script (bounded) while the TPU backend is down.
 
     The axon relay's backend registers at interpreter start and transiently
-    refuses registration for stretches (observed 1-2 h outages); a failed
-    registration cannot be retried in-process, so each retry needs a fresh
-    interpreter. Used by the benchmark entry points; a no-op once
-    `jax.devices()` works.
+    refuses registration (or hangs device init — see _devices_probe_ok) for
+    stretches; a failed registration cannot be retried in-process, so each
+    retry needs a fresh interpreter. Used by the benchmark entry points; a
+    no-op once `jax.devices()` works.
     """
     import sys
     import time
 
-    import jax
+    if probe_timeout_s is None:
+        probe_timeout_s = float(os.environ.get("OUTFITX_PROBE_TIMEOUT", "240"))
+    ok, why = _devices_probe_ok(probe_timeout_s)
+    if ok:
+        import jax
 
-    try:
         jax.devices()
         return
-    except RuntimeError as e:
-        # A PYTHONPATH override (e.g. `PYTHONPATH=. python bench.py`) can
-        # shadow the site dir whose sitecustomize registers the TPU
-        # plugin; registration then fails every retry. Detect, restore
-        # the site dir, and re-exec immediately.
-        fixed = restore_shadowed_site_dirs()
-        if fixed:
-            print(
-                f"# TPU plugin site dir(s) {fixed} were shadowed by "
-                "PYTHONPATH; restoring and re-executing",
-                file=sys.stderr,
-                flush=True,
-            )
-            os.execv(sys.executable, [sys.executable] + sys.argv)
-        attempts = int(os.environ.get("OUTFITX_BENCH_RETRY", "0"))
-        if attempts >= max_retries:
-            raise
+    # A PYTHONPATH override (e.g. `PYTHONPATH=. python bench.py`) can
+    # shadow the site dir whose sitecustomize registers the TPU plugin;
+    # registration then fails every retry. Detect, restore the site dir,
+    # and re-exec immediately (doesn't count against max_retries).
+    fixed = restore_shadowed_site_dirs()
+    if fixed:
         print(
-            f"# TPU backend unavailable ({e}); retry "
-            f"{attempts + 1}/{max_retries} in {sleep_s:.0f}s",
+            f"# TPU plugin site dir(s) {fixed} were shadowed by "
+            "PYTHONPATH; restoring and re-executing",
             file=sys.stderr,
             flush=True,
         )
-        time.sleep(sleep_s)
-        os.environ["OUTFITX_BENCH_RETRY"] = str(attempts + 1)
         os.execv(sys.executable, [sys.executable] + sys.argv)
+    attempts = int(os.environ.get("OUTFITX_BENCH_RETRY", "0"))
+    if attempts >= max_retries:
+        raise RuntimeError(
+            f"TPU backend unavailable after {attempts} retries: {why}"
+        )
+    print(
+        f"# TPU backend unavailable ({why}); retry "
+        f"{attempts + 1}/{max_retries} in {sleep_s:.0f}s",
+        file=sys.stderr,
+        flush=True,
+    )
+    time.sleep(sleep_s)
+    os.environ["OUTFITX_BENCH_RETRY"] = str(attempts + 1)
+    os.execv(sys.executable, [sys.executable] + sys.argv)

@@ -31,16 +31,36 @@ record() { # phase status t0 t1 attempts
   echo "{\"phase\": \"$1\", \"status\": \"$2\", \"seconds\": $(($4 - $3)), \"attempts\": $5, \"t0\": $3, \"t1\": $4}" >> "$PHASES"
 }
 
+STALL_S=${STALL_S:-2400} # no log output for 40 min => backend hang; kill+retry
+
 run_phase() { # name cmd... ; retries with --resume latest when a checkpoint exists
   local name=$1; shift
-  local t0 attempts rc resume
+  local t0 attempts rc resume pid
   t0=$(date +%s); attempts=0
   while :; do
     attempts=$((attempts + 1))
     resume=""
     if [ -d "$CK/$MODEL-$name/latest" ]; then resume="--resume latest"; fi
     echo "=== [$name] attempt $attempts $(date -u +%FT%TZ) $resume ===" >> "$LOGDIR/$name.out"
-    "$@" $resume >> "$LOGDIR/$name.out" 2>&1
+    # Stall watchdog: the relay's device init can HANG (not fail) for
+    # hours; a silent attempt would otherwise block the campaign forever.
+    # Remote compiles take 1-7 min and recall epochs a few more, so 40 min
+    # of log silence is decisive. `kill $pid` (exact pid, never a pattern).
+    "$@" $resume >> "$LOGDIR/$name.out" 2>&1 &
+    pid=$!
+    while kill -0 "$pid" 2>/dev/null; do
+      sleep 60
+      local age
+      age=$(( $(date +%s) - $(stat -c %Y "$LOGDIR/$name.out") ))
+      if [ "$age" -gt "$STALL_S" ]; then
+        echo "=== [$name] attempt $attempts STALLED (${age}s silent); killing $pid ===" >> "$LOGDIR/$name.out"
+        kill "$pid" 2>/dev/null
+        sleep 10
+        kill -9 "$pid" 2>/dev/null
+        break
+      fi
+    done
+    wait "$pid"
     rc=$?
     if [ $rc -eq 0 ]; then
       record "$name" ok "$t0" "$(date +%s)" "$attempts"

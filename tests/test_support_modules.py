@@ -211,3 +211,58 @@ class TestForcePlatformFromEnv:
         before = jax.config.jax_platforms
         runtime.force_platform_from_env()
         assert jax.config.jax_platforms == before
+
+
+class TestDevicesProbe:
+    """The relay has two outage modes: registration raises, or device init
+    hangs indefinitely (2026-08-18). The child-interpreter probe converts a
+    hang into a bounded failure so retry_if_backend_down can ride it out."""
+
+    def test_timeout_reported_as_hang(self, monkeypatch):
+        import subprocess
+
+        from outfitx_tpu.core import runtime
+
+        def fake_run(*a, **kw):
+            raise subprocess.TimeoutExpired(cmd=a[0], timeout=kw["timeout"])
+
+        monkeypatch.setattr(subprocess, "run", fake_run)
+        ok, why = runtime._devices_probe_ok(1.0)
+        assert not ok and "hung" in why
+
+    def test_failure_reports_last_stderr_line(self, monkeypatch):
+        import subprocess
+        import types
+
+        from outfitx_tpu.core import runtime
+
+        def fake_run(*a, **kw):
+            return types.SimpleNamespace(
+                returncode=1,
+                stderr="trace\nRuntimeError: Backend 'axon' is not known\n",
+                stdout="",
+            )
+
+        monkeypatch.setattr(subprocess, "run", fake_run)
+        ok, why = runtime._devices_probe_ok(1.0)
+        assert not ok and "axon" in why
+
+    def test_success_short_circuits_retry(self, monkeypatch):
+        from outfitx_tpu.core import runtime
+
+        monkeypatch.setattr(
+            runtime, "_devices_probe_ok", lambda t: (True, "")
+        )
+        # must return without re-exec'ing or sleeping (jax.devices() on the
+        # cpu test platform succeeds)
+        runtime.retry_if_backend_down(probe_timeout_s=1.0)
+
+    def test_down_backend_counts_and_reexecs(self, monkeypatch):
+        from outfitx_tpu.core import runtime
+
+        monkeypatch.setattr(
+            runtime, "_devices_probe_ok", lambda t: (False, "down")
+        )
+        monkeypatch.setenv("OUTFITX_BENCH_RETRY", "10")
+        with pytest.raises(RuntimeError, match="after 10 retries"):
+            runtime.retry_if_backend_down(max_retries=10, probe_timeout_s=1.0)
