@@ -113,6 +113,105 @@ def main() -> None:
         ),
         flush=True,
     )
+    bench_tower_shapes(args)
+
+
+def bench_tower_shapes(args) -> None:
+    """Kernel-level probe at TOWER shapes: would routing the frozen towers'
+    attention block (per-projection matmuls + masked_mha + out-proj,
+    models/towers/common.py block()) through ops/attn_block.attn_block help
+    the precompute sweep? Towers are frozen, so their weights could be
+    pre-arranged into the fused (d, 3, d) layout ONCE at load — the
+    apply-time weight-concat that made fused-QKV lose in towers/common.py
+    (measured note at :143-147) would not apply. A win here motivates that
+    integration; a loss closes the question."""
+    import jax
+    import jax.numpy as jnp
+
+    from outfitx_tpu.ops import masked_mha
+    from outfitx_tpu.ops.attn_block import attn_block
+
+    rng = np.random.default_rng(1)
+    shapes = [
+        ("siglip_vision_S197", 256, 197, 768, 12, False),
+        ("text_L64", 512, 64, 768, 12, False),
+        ("clip_vit32_S50", 512, 50, 768, 12, False),
+    ]
+    for tag, b, s, d, h, causal in shapes:
+        y = jnp.asarray(rng.standard_normal((b, s, d)), dtype=jnp.bfloat16)
+        wq, wk, wv = (
+            jnp.asarray(rng.standard_normal((d, d)) * 0.02, dtype=jnp.bfloat16)
+            for _ in range(3)
+        )
+        bq, bk, bv = (
+            jnp.asarray(rng.standard_normal((d,)) * 0.02, dtype=jnp.bfloat16)
+            for _ in range(3)
+        )
+        wo = jnp.asarray(rng.standard_normal((d, d)) * 0.02, dtype=jnp.bfloat16)
+        mask = jnp.zeros((b, s), dtype=bool)
+        dh = d // h
+
+        def decomposed(y):
+            def heads(t):
+                return t.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
+
+            q, k, v = (
+                heads(y @ w + bb) for w, bb in ((wq, bq), (wk, bk), (wv, bv))
+            )
+            o = masked_mha(q, k, v, mask)
+            return (o.transpose(0, 2, 1, 3).reshape(b, s, d) @ wo).astype(
+                jnp.float32
+            )
+
+        # frozen towers: pre-arranged fused layout, built once (not timed)
+        wqkv = jnp.stack([wq, wk, wv], axis=1)  # (d, 3, d)
+        bqkv = jnp.stack([bq, bk, bv], axis=0)  # (3, d)
+
+        def fused(y):
+            return attn_block(y, wqkv, bqkv, wo, mask, n_heads=h)
+
+        def timeit(fn, label):
+            out = fn(y)
+            float(np.asarray(jnp.sum(out.ravel()[:8])))
+            per_window = []
+            for _ in range(args.windows):
+                t0 = time.perf_counter()
+                for _ in range(args.iters):
+                    out = fn(y)
+                float(np.asarray(jnp.sum(out.ravel()[:8])))
+                per_window.append((time.perf_counter() - t0) / args.iters)
+            return min(per_window) * 1e3
+
+        try:
+            base_ms = timeit(jax.jit(decomposed), "decomposed")
+            fused_ms = timeit(jax.jit(fused), "fused")
+            dev = float(
+                np.asarray(
+                    jnp.max(
+                        jnp.abs(jax.jit(decomposed)(y) - jax.jit(fused)(y))
+                    )
+                )
+            )
+            print(
+                json.dumps(
+                    {
+                        "probe": f"tower_{tag}",
+                        "decomposed_ms": round(base_ms, 3),
+                        "fused_ms": round(fused_ms, 3),
+                        "speedup": round(base_ms / fused_ms, 4),
+                        "max_dev": dev,
+                    }
+                ),
+                flush=True,
+            )
+        except Exception as e:
+            print(
+                json.dumps(
+                    {"probe": f"tower_{tag}",
+                     "error": f"{type(e).__name__}: {e}"[:200]}
+                ),
+                flush=True,
+            )
 
 
 if __name__ == "__main__":
