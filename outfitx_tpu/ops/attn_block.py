@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from outfitx_tpu.ops.attention import _causal_keep
 from outfitx_tpu.ops.common import cdiv, round_up, use_interpret
 
 _NEG = -1e9
@@ -46,6 +47,7 @@ def _attn_block_kernel(
     o_ref,  # (TB, L, d) f32    — accumulated across the head grid axis
     *,
     scale: float,
+    causal: bool,
 ):
     j = pl.program_id(1)
     y = y_ref[...]  # (TB, L, d)
@@ -70,6 +72,8 @@ def _attn_block_kernel(
         preferred_element_type=jnp.float32,
     ) * scale  # (TB, L, L) f32
     scores = jnp.where(mask_ref[...], _NEG, scores)
+    if causal:  # compile-time branch (CLIP text tower, L=77)
+        scores = jnp.where(_causal_keep(l, l)[None], scores, _NEG)
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores)
     probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
@@ -102,6 +106,7 @@ def attn_block(
     *,
     tile_b: int = 32,
     scale: float | None = None,
+    causal: bool = False,
 ):
     """One-kernel attention block: returns ``out_proj(MHA(y @ wqkv))``.
 
@@ -149,6 +154,7 @@ def attn_block(
         functools.partial(
             _attn_block_kernel,
             scale=float(scale) if scale is not None else 1.0 / (dh**0.5),
+            causal=causal,
         ),
         grid=grid,
         in_specs=[

@@ -136,6 +136,7 @@ def bench_tower_shapes(args) -> None:
         ("siglip_vision_S197", 256, 197, 768, 12, False),
         ("text_L64", 512, 64, 768, 12, False),
         ("clip_vit32_S50", 512, 50, 768, 12, False),
+        ("clip_text_L77_causal", 512, 77, 512, 8, True),
     ]
     for tag, b, s, d, h, causal in shapes:
         y = jnp.asarray(rng.standard_normal((b, s, d)), dtype=jnp.bfloat16)
@@ -158,7 +159,7 @@ def bench_tower_shapes(args) -> None:
             q, k, v = (
                 heads(y @ w + bb) for w, bb in ((wq, bq), (wk, bk), (wv, bv))
             )
-            o = masked_mha(q, k, v, mask)
+            o = masked_mha(q, k, v, mask, causal=causal)
             return (o.transpose(0, 2, 1, 3).reshape(b, s, d) @ wo).astype(
                 jnp.float32
             )
@@ -168,7 +169,7 @@ def bench_tower_shapes(args) -> None:
         bqkv = jnp.stack([bq, bk, bv], axis=0)  # (3, d)
 
         def fused(y):
-            return attn_block(y, wqkv, bqkv, wo, mask, n_heads=h)
+            return attn_block(y, wqkv, bqkv, wo, mask, n_heads=h, causal=causal)
 
         def timeit(fn, label):
             out = fn(y)
@@ -183,14 +184,11 @@ def bench_tower_shapes(args) -> None:
             return min(per_window) * 1e3
 
         try:
-            base_ms = timeit(jax.jit(decomposed), "decomposed")
-            fused_ms = timeit(jax.jit(fused), "fused")
+            dec_jit, fus_jit = jax.jit(decomposed), jax.jit(fused)
+            base_ms = timeit(dec_jit, "decomposed")
+            fused_ms = timeit(fus_jit, "fused")
             dev = float(
-                np.asarray(
-                    jnp.max(
-                        jnp.abs(jax.jit(decomposed)(y) - jax.jit(fused)(y))
-                    )
-                )
+                np.asarray(jnp.max(jnp.abs(dec_jit(y) - fus_jit(y))))
             )
             print(
                 json.dumps(

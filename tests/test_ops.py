@@ -632,3 +632,28 @@ class TestFusedAttnBlock:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(base), atol=1e-5, rtol=1e-5
         )
+
+    def test_causal_matches_decomposed(self, rng):
+        """Compile-time causal branch (CLIP text tower, reference
+        clip_text_encoder.py:42-47) against the decomposed causal path."""
+        from outfitx_tpu.ops.attention import _mha_reference
+        from outfitx_tpu.ops.attn_block import attn_block
+
+        b, l, d, h = 4, 11, 48, 4
+        dh = d // h
+        y = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+        wqkv = jnp.asarray(rng.standard_normal((d, 3, d)) * 0.1, jnp.float32)
+        bqkv = jnp.asarray(rng.standard_normal((3, d)) * 0.1, jnp.float32)
+        wo = jnp.asarray(rng.standard_normal((d, d)) * 0.1, jnp.float32)
+        mask = jnp.asarray(
+            np.arange(l)[None, :] >= rng.integers(2, l + 1, size=(b, 1))
+        )
+        qkv = (
+            jnp.dot(y, wqkv.reshape(d, 3 * d)).reshape(b, l, 3, d) + bqkv
+        ).reshape(b, l, 3, h, dh).transpose(2, 0, 3, 1, 4)
+        o = _mha_reference(qkv[0], qkv[1], qkv[2], mask, causal=True)
+        want = jnp.dot(o.transpose(0, 2, 1, 3).reshape(b, l, d), wo)
+        got = attn_block(y, wqkv, bqkv, wo, mask, h, causal=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4
+        )
