@@ -127,30 +127,68 @@ def apply_encoder(
             choice == "flash" and pad_mask is None and not causal
         ):
             attn_impl = choice
+        elif choice == "block":
+            # OUTFITX_TOWER_ATTN=block: the fully-fused attention block
+            # (ops/attn_block.py — qkv proj + attention + out-proj in one
+            # kernel). Towers are FROZEN, so the fused (d, 3, d) weight
+            # layout is a pure function of constant params — stacked once
+            # per call below, outside the layer scan (the apply-time
+            # per-layer concat that made fused-QKV lose here, :143-147,
+            # was inside the scan body). Probed by bench_attn_block.py.
+            attn_impl = "block"
     # OUTFITX_TOWER_MLP=pallas: fused MLP kernel (VMEM-resident mid tensor,
     # ops/mlp.py) — benchmark opt-in.
     mlp_impl = os.environ.get("OUTFITX_TOWER_MLP", "xla")
     if pad_mask is None:
         pad_mask = jnp.zeros((b, s), dtype=bool)
 
-    def block(carry, lp):
+    if attn_impl == "block":
+        # (n_layers, d, 3, d) / (n_layers, 3, d): fused layouts stacked
+        # once, fed to the scan as xs next to the layer dict.
+        a = layers["attn"]
+        wqkv_all = jnp.stack(
+            [a["q"]["w"], a["k"]["w"], a["v"]["w"]], axis=2
+        ).astype(x.dtype)
+        bqkv_all = jnp.stack(
+            [a["q"]["b"], a["k"]["b"], a["v"]["b"]], axis=1
+        ).astype(x.dtype)
+        layers = (layers, {"wqkv": wqkv_all, "bqkv": bqkv_all})
+    else:
+        layers = (layers, None)
+
+    def block(carry, xs):
+        lp, fused_w = xs
         h = carry
         y = layer_norm(h, lp["ln1"]["scale"], lp["ln1"]["bias"], eps=ln_eps)
 
         def heads(t):
             return t.reshape(b, s, n_heads, dh).transpose(0, 2, 1, 3)
 
-        # Per-projection matmuls, NOT apply-time-fused QKV: concatenating
-        # the stacked-layer weight slices into one (d, 3d) matmul was
-        # measured SLOWER here (vision 1095 vs 987 ms, text 361 vs 321 —
-        # the per-layer concat materializes and breaks XLA's scheduling),
-        # unlike the set transformer where wqkv is fused in the PARAMS.
-        q = heads(linear(lp["attn"]["q"], y))
-        k = heads(linear(lp["attn"]["k"], y))
-        v = heads(linear(lp["attn"]["v"], y))
-        o = masked_mha(q, k, v, pad_mask, causal=causal, impl=attn_impl)
-        o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
-        h = h + linear(lp["attn"]["o"], o)
+        if attn_impl == "block":
+            from outfitx_tpu.ops.attn_block import attn_block
+
+            o = attn_block(
+                y,
+                fused_w["wqkv"],
+                fused_w["bqkv"],
+                lp["attn"]["o"]["w"].astype(y.dtype),
+                pad_mask,
+                n_heads=n_heads,
+                causal=causal,
+            ).astype(h.dtype)
+            h = h + o + lp["attn"]["o"]["b"].astype(h.dtype)
+        else:
+            # Per-projection matmuls, NOT apply-time-fused QKV: concatenating
+            # the stacked-layer weight slices into one (d, 3d) matmul was
+            # measured SLOWER here (vision 1095 vs 987 ms, text 361 vs 321 —
+            # the per-layer concat materializes and breaks XLA's scheduling),
+            # unlike the set transformer where wqkv is fused in the PARAMS.
+            q = heads(linear(lp["attn"]["q"], y))
+            k = heads(linear(lp["attn"]["k"], y))
+            v = heads(linear(lp["attn"]["v"], y))
+            o = masked_mha(q, k, v, pad_mask, causal=causal, impl=attn_impl)
+            o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
+            h = h + linear(lp["attn"]["o"], o)
         y = layer_norm(h, lp["ln2"]["scale"], lp["ln2"]["bias"], eps=ln_eps)
         if mlp_impl == "pallas":
             from outfitx_tpu.ops.mlp import mlp_fused

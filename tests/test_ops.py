@@ -372,6 +372,37 @@ class TestTowerPallasAttention:
             np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
         )
 
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_tower_attn_block_route(self, rng, monkeypatch, causal):
+        """OUTFITX_TOWER_ATTN=block routes the whole attention block
+        (qkv proj + attention + out-proj) through ops/attn_block with
+        identical numerics, including the causal CLIP-text shape and a
+        key-padding mask."""
+        from outfitx_tpu.models.towers.common import (
+            apply_encoder,
+            init_encoder_layers,
+        )
+
+        key = jax.random.PRNGKey(1)
+        layers = init_encoder_layers(key, d=32, n_heads=4, d_mlp=64, n_layers=2)
+        x = jnp.asarray(rng.standard_normal((3, 50, 32)), dtype=jnp.float32)
+        mask = jnp.asarray(
+            np.arange(50)[None, :] >= rng.integers(5, 51, size=(3, 1))
+        )
+        monkeypatch.delenv("OUTFITX_TOWER_ATTN", raising=False)
+        want = apply_encoder(
+            layers, x, n_heads=4, act="quick_gelu", pad_mask=mask,
+            causal=causal,
+        )
+        monkeypatch.setenv("OUTFITX_TOWER_ATTN", "block")
+        got = apply_encoder(
+            layers, x, n_heads=4, act="quick_gelu", pad_mask=mask,
+            causal=causal,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+        )
+
 
 class TestFusedMLP:
     """ops/mlp.mlp_fused vs the XLA fc1 -> act -> fc2 chain."""
