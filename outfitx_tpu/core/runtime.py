@@ -150,8 +150,13 @@ def retry_if_backend_down(
     if ok:
         import jax
 
-        jax.devices()
-        return
+        try:
+            jax.devices()
+            return
+        except RuntimeError as e:
+            # relay flapped between the child's exit and our own
+            # registration — fall through to the sleep/re-exec path
+            ok, why = False, str(e)
     # A PYTHONPATH override (e.g. `PYTHONPATH=. python bench.py`) can
     # shadow the site dir whose sitecustomize registers the TPU plugin;
     # registration then fails every retry. Detect, restore the site dir,

@@ -213,12 +213,22 @@ class OutfitXModel:
             fused_attn_block_enabled,
         )
 
-        if deterministic and fused_attn_block_enabled():
+        from outfitx_tpu.ops.common import use_interpret
+
+        if (
+            deterministic
+            and fused_attn_block_enabled()
+            and (jax.device_count() == 1 or use_interpret())
+        ):
             # OUTFITX_ATTN_BLOCK=fused: QKV projection + attention +
             # out-projection in ONE Pallas kernel — no HBM materialization
             # of the (B, S, 3, d) qkv tensor or its head transposes
             # (ops/attn_block.py). Eval/serving forward only (no VJP);
-            # single-program contexts (not TP-sharded).
+            # single-program contexts only — the compiled custom call does
+            # not partition, so a >1-TPU process (mesh training/eval with
+            # the env var exported) keeps the decomposed path. Interpret
+            # mode (CPU tests, incl. the 8-fake-device harness) stays
+            # routable: there the call is ordinary traced JAX.
             o = attn_block(
                 y,
                 a["wqkv"].astype(y.dtype),

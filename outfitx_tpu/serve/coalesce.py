@@ -152,8 +152,8 @@ class CoalescingCPScorer(_CoalescingWorker):
             self.engine.lookup_row(i)
 
     def _execute_batch(self, outfits):
-        # fixed-size submission: one compiled bucket, ever
-        outfits = outfits + [outfits[0]] * (self.max_batch - len(outfits))
+        # cp_score_batch itself pads every chunk to exactly the engine's
+        # pre-warmed bucket (engine._bucket_chunks) — no coalescer-side pad.
         return [float(s) for s in self.engine.cp_score_batch(outfits)]
 
     def _execute_single(self, ids):

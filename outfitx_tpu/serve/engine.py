@@ -31,6 +31,20 @@ from outfitx_tpu.ops.retrieval import (
 )
 
 
+def _bucket_chunks(idxs, bucket: int):
+    """Yield ``(sel, padded)`` covering ``idxs`` in chunks of exactly
+    ``bucket`` indices: ``sel`` are the real indices, ``padded`` the int64
+    index array padded by repeating the chunk's first index. Every batched
+    device call therefore hits the single pre-warmed bucket program; pad
+    results are sliced away by the caller. Shared by cp_score_batch,
+    cir_top10_batch, and similar_items_batch (one encoding of the bucket
+    invariant, not three)."""
+    idxs = list(idxs)
+    for s in range(0, len(idxs), bucket):
+        sel = idxs[s : s + bucket]
+        yield sel, np.asarray(sel + sel[:1] * (bucket - len(sel)), np.int64)
+
+
 class UnknownItemError(KeyError):
     """Raised for item ids absent from the catalog."""
 
@@ -253,23 +267,16 @@ class ServingEngine:
         )
         rows = np.asarray(rows, dtype=np.int32)
         mask = np.asarray(mask)
-        b, bucket = len(outfits), self.cp_batch_bucket
         out: List[float] = []
-        for start in range(0, b, bucket):
-            crows = rows[start : start + bucket]
-            cmask = mask[start : start + bucket]
-            if len(crows) != bucket:
-                n_pad = bucket - len(crows)
-                crows = np.concatenate(
-                    [crows, np.broadcast_to(crows[:1], (n_pad, *crows.shape[1:]))]
-                )
-                cmask = np.concatenate(
-                    [cmask, np.broadcast_to(cmask[:1], (n_pad, *cmask.shape[1:]))]
-                )
+        for sel, padded in _bucket_chunks(
+            range(len(outfits)), self.cp_batch_bucket
+        ):
             scores = np.asarray(
-                self._cp_task(self.cp_params, self.catalog_dev, crows, cmask)
+                self._cp_task(
+                    self.cp_params, self.catalog_dev, rows[padded], mask[padded]
+                )
             )
-            out.extend(float(s) for s in scores[: min(bucket, b - start)])
+            out.extend(float(s) for s in scores[: len(sel)])
         return out
 
     def cir_top10(
@@ -347,13 +354,7 @@ class ServingEngine:
         out: List = [None] * len(requests)
         bucket = self.cp_batch_bucket
 
-        def chunks(idxs):
-            for s in range(0, len(idxs), bucket):
-                sel = idxs[s : s + bucket]
-                n_pad = bucket - len(sel)
-                yield sel, np.asarray(sel + sel[:1] * n_pad, dtype=np.int64)
-
-        for sel, padded in chunks(cat_idx):
+        for sel, padded in _bucket_chunks(cat_idx, bucket):
             d2, idx = self._cir_task(
                 self.cir_params, self.catalog_dev, self._qcat,
                 rows[padded], mask[padded], trows[padded],
@@ -364,7 +365,7 @@ class ServingEngine:
                     self._item_info(int(r), float(dd))
                     for r, dd in zip(idx[j], d2[j])
                 ]
-        for sel, padded in chunks(pool_idx):
+        for sel, padded in _bucket_chunks(pool_idx, bucket):
             prows = np.stack([pools_of[int(i)] for i in padded])
             d2, idx = self._cir_pool_task(
                 self.cir_params, self.catalog_dev,
@@ -458,20 +459,16 @@ class ServingEngine:
         qrows = np.asarray(
             [self.lookup_row(i) for i in item_ids], dtype=np.int32
         )
-        bucket = self.cp_batch_bucket
         out: List[List[Dict]] = []
-        for s in range(0, len(qrows), bucket):
-            chunk = qrows[s : s + bucket]
-            n_real = len(chunk)
-            if n_real != bucket:
-                chunk = np.concatenate(
-                    [chunk, np.broadcast_to(chunk[:1], (bucket - n_real,))]
-                )
+        for sel, padded in _bucket_chunks(
+            range(len(qrows)), self.cp_batch_bucket
+        ):
+            chunk = qrows[padded]
             d2, idx = self._sim_task(
                 self.catalog_dev, self._qcat, chunk, k + 1
             )
             d2, idx = np.asarray(d2), np.asarray(idx)
-            for j in range(n_real):
+            for j in range(len(sel)):
                 row = int(chunk[j])
                 items = [
                     self._item_info(int(i), float(dd))
