@@ -722,3 +722,32 @@ class TestMixedTaskCoalescing:
             assert len(out) == 10
         finally:
             cir.close()
+
+
+class TestBucketChunks:
+    """engine._bucket_chunks encodes the pad-to-bucket invariant shared by
+    cp_score_batch / cir_top10_batch / similar_items_batch."""
+
+    def test_exact_multiple(self):
+        from outfitx_tpu.serve.engine import _bucket_chunks
+
+        import numpy as np
+
+        chunks = list(_bucket_chunks(range(8), 4))
+        assert [c[0] for c in chunks] == [[0, 1, 2, 3], [4, 5, 6, 7]]
+        for sel, padded in chunks:
+            assert padded.dtype == np.int64 and list(padded) == sel
+
+    def test_tail_padded_with_first_index(self):
+        from outfitx_tpu.serve.engine import _bucket_chunks
+
+        chunks = list(_bucket_chunks([7, 3, 9], 4))
+        assert len(chunks) == 1
+        sel, padded = chunks[0]
+        assert sel == [7, 3, 9]
+        assert list(padded) == [7, 3, 9, 7]  # pad repeats the chunk's first
+
+    def test_empty(self):
+        from outfitx_tpu.serve.engine import _bucket_chunks
+
+        assert list(_bucket_chunks([], 4)) == []
