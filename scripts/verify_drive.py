@@ -1,0 +1,50 @@
+"""verify drive: full-scale model forward/backward + masked invariance on
+the real TPU through the public package surface (the /verify recipe —
+.claude/skills/verify/SKILL.md). Run: python scripts/verify_drive.py"""
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+import time
+import numpy as np
+
+t0 = time.time()
+import jax, jax.numpy as jnp
+from outfitx_tpu.core.runtime import enable_compilation_cache, force_platform_from_env
+force_platform_from_env()  # ambient env is axon; must stay a no-op
+enable_compilation_cache()
+print("devices:", jax.devices(), f"({time.time()-t0:.1f}s)", flush=True)
+
+from outfitx_tpu.core.config import OutfitXConfig
+from outfitx_tpu.models import OutfitXModel
+from outfitx_tpu.losses import focal_loss
+
+cfg = OutfitXConfig()
+model = OutfitXModel(cfg)
+params = model.init(jax.random.PRNGKey(0))
+rng = np.random.default_rng(0)
+b, l, d = 256, cfg.max_outfit_len, cfg.d_embed
+emb = jnp.asarray(rng.standard_normal((b, l, d)), dtype=jnp.bfloat16)
+mask = jnp.asarray(np.arange(l)[None, :] >= rng.integers(2, l + 1, size=(b, 1)))
+labels = jnp.asarray(rng.integers(0, 2, size=(b,)).astype(np.float32))
+
+fwd = jax.jit(model.cp_forward)
+scores = fwd(params, emb, mask)
+print("cp_forward:", float(np.asarray(jnp.sum(scores[:8]))), flush=True)
+
+# masked-item invariance: perturb padded rows -> scores unchanged
+emb2 = jnp.where(mask[:, :, None], emb + 7.0, emb)
+scores2 = fwd(params, emb2, mask)
+delta = float(np.asarray(jnp.max(jnp.abs(scores - scores2))))
+print("masked invariance delta:", delta, flush=True)
+assert delta == 0.0, delta
+
+def loss_fn(p):
+    s = model.cp_forward(p, emb, mask)
+    return focal_loss(s, labels).mean()
+
+val, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+gn = float(np.asarray(sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in jax.tree.leaves(grads))))
+print("loss:", float(np.asarray(val)), "grad sq-norm:", gn, flush=True)
+assert np.isfinite(float(np.asarray(val))) and np.isfinite(gn)
+print("DRIVE OK", flush=True)
