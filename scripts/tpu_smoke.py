@@ -167,6 +167,35 @@ def main() -> int:
         5e-2,
     )
 
+    # causal fused block at the CLIP-text shape (L=77, d=512, 8 heads)
+    bc, lc, dc, hc = 128, 77, 512, 8
+    yc = jnp.asarray(rng.standard_normal((bc, lc, dc)), dtype=jnp.bfloat16)
+    wqc = jnp.asarray(
+        rng.standard_normal((dc, 3, dc)) * 0.02, dtype=jnp.bfloat16
+    )
+    bqc = jnp.asarray(rng.standard_normal((3, dc)) * 0.02, dtype=jnp.bfloat16)
+    woc = jnp.asarray(rng.standard_normal((dc, dc)) * 0.02, dtype=jnp.bfloat16)
+    mc = jnp.asarray(
+        np.arange(lc)[None, :] >= rng.integers(5, lc + 1, size=(bc, 1))
+    )
+
+    def block_ref_causal(y, wq_, bq_, wo_, m):
+        qkv = jnp.dot(y, wq_.reshape(dc, 3 * dc)).reshape(bc, lc, 3, dc) + bq_
+        qkv = qkv.reshape(bc, lc, 3, hc, dc // hc).transpose(2, 0, 3, 1, 4)
+        o = _mha_reference(qkv[0], qkv[1], qkv[2], m, causal=True)
+        return jnp.dot(
+            o.transpose(0, 2, 1, 3).reshape(bc, lc, dc), wo_
+        ).astype(jnp.float32)
+
+    check(
+        "pallas fused attn block (causal L=77)",
+        jax.jit(lambda *a: attn_block(*a, hc, causal=True))(
+            yc, wqc, bqc, woc, mc
+        ),
+        block_ref_causal(yc, wqc, bqc, woc, mc),
+        5e-2,
+    )
+
     # Pallas LayerNorm vs XLA
     x = jnp.asarray(rng.standard_normal((1024, 1536)), dtype=jnp.float32)
     s = jnp.asarray(rng.standard_normal(1536), dtype=jnp.float32)
