@@ -135,6 +135,10 @@ def apply_encoder(
             # per call below, outside the layer scan (the apply-time
             # per-layer concat that made fused-QKV lose here, :143-147,
             # was inside the scan body). Probed by bench_attn_block.py.
+            # FORWARD-ONLY (no VJP): for precompute/eval/serving sweeps.
+            # Do not set during original-cp training — the trainable
+            # head grads flow around the towers (stop_gradient), but a
+            # differentiated encoder call would fail to lower.
             attn_impl = "block"
     # OUTFITX_TOWER_MLP=pallas: fused MLP kernel (VMEM-resident mid tensor,
     # ops/mlp.py) — benchmark opt-in.
