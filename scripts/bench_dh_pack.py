@@ -92,11 +92,13 @@ def main() -> None:
     def core_padded(qp, kp, vp):
         return masked_mha(qp, kp, vp, pad_mask)[..., :dh]
 
-    results["core128_ms"] = timeit(jax.jit(core_padded), qp, kp, vp)
+    core_padded_jit = jax.jit(core_padded)  # one jit handle: a second
+    # wrapper would recompile (1-7 min through the relay)
+    results["core128_ms"] = timeit(core_padded_jit, qp, kp, vp)
 
     # exactness spot check (zero q/k columns leave scores unchanged)
     ref = core(q, k, v)
-    got = jax.jit(core_padded)(qp, kp, vp)
+    got = core_padded_jit(qp, kp, vp)
     results["core_pad_max_abs_diff"] = float(
         np.asarray(jnp.max(jnp.abs(ref.astype(jnp.float32) - got.astype(jnp.float32))))
     )
