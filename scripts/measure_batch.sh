@@ -29,6 +29,7 @@ run clip_text_attn 1200 python scripts/bench_clip_text_attn.py
 run attn_block     1500 python scripts/bench_attn_block.py
 run dh_pack        1500 python scripts/bench_dh_pack.py
 run bench_pin      1800 python bench.py
+run coalesce       1500 python scripts/bench_coalesce.py
 
 echo "=== measurement batch done, launching campaign ===" >> "$M/batch.log"
 MAX_RETRIES=200 nohup bash scripts/envelope_campaign.sh > /tmp/envelope.out 2>&1 &
