@@ -47,4 +47,20 @@ val, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
 gn = float(np.asarray(sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in jax.tree.leaves(grads))))
 print("loss:", float(np.asarray(val)), "grad sq-norm:", gn, flush=True)
 assert np.isfinite(float(np.asarray(val))) and np.isfinite(gn)
+
+# CIR forward + retrieval against a catalog-sized pool (serving path)
+from outfitx_tpu.ops.retrieval import retrieve
+
+text = jnp.asarray(rng.standard_normal((b, d // 2)), dtype=jnp.bfloat16)
+y_hat = jax.jit(model.cir_forward)(params, emb, mask, text)
+print("cir_forward:", float(np.asarray(jnp.sum(y_hat[:4, :4]))), flush=True)
+assert y_hat.shape == (b, d)
+
+pool = jnp.asarray(rng.standard_normal((3000, d)), dtype=jnp.float32)
+d2, idx = jax.jit(lambda q, p: retrieve(q, p, 10))(
+    y_hat.astype(jnp.float32), pool
+)
+d2h = np.asarray(d2[:8])
+print("retrieve top-10 d2[0]:", float(d2h[0, 0]), flush=True)
+assert np.isfinite(d2h).all() and bool((np.diff(np.asarray(d2[:8])) >= 0).all())
 print("DRIVE OK", flush=True)
