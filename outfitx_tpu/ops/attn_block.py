@@ -54,14 +54,20 @@ def _attn_block_kernel(
     tb, l, d = y.shape
     w = w_ref[:, 0]  # (3, d, Dh)
     b = b_ref[:, 0, 0]  # (3, Dh)
-    dh = w.shape[-1]
-    y2 = y.reshape(tb * l, d)
 
+    # No reshapes anywhere in this kernel: Mosaic's layout inference
+    # rejects (TB*L, x) <-> (TB, L, x) shape casts whenever L is not a
+    # multiple of the 8-row sublane tile (L=17/197/77 all fail; measured
+    # on-chip, scripts/probe_mosaic.py 2026-08-18) — while 3D x 2D
+    # dot_general contracting the minor dim compiles, so the projections
+    # produce (TB, L, Dh) directly.
     def proj(i):
         return (
-            jax.lax.dot(y2, w[i], preferred_element_type=jnp.float32)
-            .astype(y.dtype)
-            .reshape(tb, l, dh)
+            jax.lax.dot_general(
+                y, w[i],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(y.dtype)
             + b[i].astype(y.dtype)
         )
 
@@ -82,10 +88,11 @@ def _attn_block_kernel(
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).astype(y.dtype)  # (TB, L, Dh)
-    part = jax.lax.dot(
-        ctx.reshape(tb * l, dh), wo_ref[0],
+    part = jax.lax.dot_general(
+        ctx, wo_ref[0],
+        dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).reshape(tb, l, d)  # head j's out-projection contribution, f32
+    )  # (TB, L, d) — head j's out-projection contribution, f32
 
     @pl.when(j == 0)
     def _init():
@@ -126,20 +133,44 @@ def attn_block(
     # inert columns — scripts/bench_dh_pack.py); square reference weights
     # give the usual d//h.
     dh = wqkv.shape[2] // h
+    dh_p = round_up(dh, 128)
     env_tile = int(os.environ.get("OUTFITX_ATTN_TILE", "0"))
     if env_tile:
         tile_b = env_tile  # explicit probe override, unguarded
     else:
-        # VMEM ceiling: the f32 output accumulator (TB, L, d) + resident
-        # bf16 input (TB, L, d) dominate (6 bytes/elem combined) — halve
-        # the tile until they fit comfortably inside the 16 MB scoped
-        # stack next to the per-head temporaries.
-        while tile_b > 1 and tile_b * l * d * 6 > 12 * 2**20:
+        # VMEM ceiling: per-program footprint modelled against Mosaic's
+        # padded extents (sublanes to 8, lanes to 128) — y bf16 + o/part
+        # f32 (10 bytes/elem of (TB, L8, d)), q/k/v/ctx at the padded
+        # head dim (8 bytes), ~4 f32 score-sized temporaries (16 bytes of
+        # (TB, L8, Lp)), + the per-head weight slices. Validated on-chip
+        # 2026-08-18: flagship (L=17, d=1536) tile 32 measured 19.87 MB
+        # (3.87 over the 16 MB stack), tile 16 ~8.7 MB compiles — the
+        # estimate reproduces both.
+        l8 = round_up(l, 8)
+        lp = round_up(l, 128)
+        while tile_b > 1 and (
+            tile_b * l8 * (10 * d + 8 * dh_p + 16 * lp) + 8 * d * dh_p
+            > 14 * 2**20
+        ):
             tile_b //= 2
+    if scale is None:
+        scale = 1.0 / (dh**0.5)
     # weight re-layout (cheap: weights, not activations)
     w = wqkv.reshape(d, 3, h, dh).transpose(1, 2, 0, 3)  # (3, H, d, Dh)
     bq = bqkv.reshape(3, h, 1, dh)  # (3, H, 1, Dh)
     wo_h = wo.reshape(h, dh, d)  # (H, Dh, d)
+    if dh % 128:
+        # Mosaic's 3D x 2D dot_general requires a lane-aligned (128k)
+        # contraction dim (measured on-chip: 96/64 fail layout inference,
+        # 128/768/1536 compile — scripts/probe_mosaic.py 2026-08-18), and
+        # a 96-lane matmul occupies full 128-lane MXU tiles anyway.
+        # Zero-pad the head dim: zero v-columns make a zero ctx tail,
+        # zero wo rows contribute nothing — bitwise-inert. `scale` was
+        # fixed from the REAL Dh above.
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, dh_p - dh)))
+        bq = jnp.pad(bq, ((0, 0), (0, 0), (0, 0), (0, dh_p - dh)))
+        wo_h = jnp.pad(wo_h, ((0, 0), (0, dh_p - dh), (0, 0)))
+        dh = dh_p
 
     tile_b = max(1, min(tile_b, b))
     pad_b = round_up(b, tile_b)
@@ -152,9 +183,7 @@ def attn_block(
     grid = (cdiv(pad_b, tile_b), h)
     out = pl.pallas_call(
         functools.partial(
-            _attn_block_kernel,
-            scale=float(scale) if scale is not None else 1.0 / (dh**0.5),
-            causal=causal,
+            _attn_block_kernel, scale=float(scale), causal=causal,
         ),
         grid=grid,
         in_specs=[

@@ -102,6 +102,9 @@ def main() -> None:
         print(json.dumps({"probe": f"fused_tile{tile}_max_dev", "value": dev}),
               flush=True)
     os.environ.pop("OUTFITX_ATTN_BLOCK", None)
+    # the tower probes below must use the kernel's VMEM-guarded auto tile,
+    # not the last flagship loop value (tile 64 at S=197 cannot compile)
+    os.environ.pop("OUTFITX_ATTN_TILE", None)
     best_tag = max(results, key=results.get)
     print(
         json.dumps(

@@ -25,7 +25,8 @@ run() { # name timeout cmd...
 run drive          900  python scripts/verify_drive.py
 run tpu_smoke      1500 python scripts/tpu_smoke.py
 run ffn_pad        2700 python scripts/bench_ffn_pad.py --train
-run clip_text_attn 1200 python scripts/bench_clip_text_attn.py
+run clip_text_xla    1200 python scripts/bench_clip_text_attn.py xla
+run clip_text_pallas 1200 python scripts/bench_clip_text_attn.py pallas
 run attn_block     1500 python scripts/bench_attn_block.py
 run dh_pack        1500 python scripts/bench_dh_pack.py
 run bench_pin      1800 python bench.py
