@@ -97,7 +97,12 @@ class TransformerConfig:
     # streams match the unpadded model exactly.
     # Motivation: the reference's d_ffn=2024 (transformer_config.py:16) is
     # 15*128+104 — both FFN matmuls end in a partial MXU tile.
-    ffn_pad_to: int = 0
+    # Default 2048, adopted on the measured train step (2026-08-18 on-chip,
+    # scripts/bench_ffn_pad.py --train): 438.6 -> 430.4 ms = 1.019x with
+    # exactness diff 0.0; forward alone gained only 1.0074x (below the
+    # pre-committed 1.03 forward-rule threshold — BENCHMARKS.md records
+    # both). Set 0 to disable (e.g. A/B probes).
+    ffn_pad_to: int = 2048
 
 
 @dataclasses.dataclass(frozen=True)

@@ -127,7 +127,7 @@ def apply_encoder(
             choice == "flash" and pad_mask is None and not causal
         ):
             attn_impl = choice
-        elif choice == "block":
+        elif choice == "block" and not causal and 32 < s <= 64 and s % 8 == 0:
             # OUTFITX_TOWER_ATTN=block: the fully-fused attention block
             # (ops/attn_block.py — qkv proj + attention + out-proj in one
             # kernel). Towers are FROZEN, so the fused (d, 3, d) weight
@@ -139,6 +139,14 @@ def apply_encoder(
             # Do not set during original-cp training — the trainable
             # head grads flow around the towers (stop_gradient), but a
             # differentiated encoder call would fail to lower.
+            # Shape guard from the 2026-08-18 on-chip study
+            # (parity_artifacts/measure_r5/attn_block.out): the block wins
+            # only at sublane-aligned L=64 (1.19x); S=50 (0.87x), S=197
+            # (0.74x) and causal L=77 (0.82x) all LOSE to the decomposed
+            # direct-kernel path — Mosaic lowers the kernel's 3D x 2D
+            # projection dots efficiently only when L is a sublane
+            # multiple, and small VMEM-bounded batch tiles starve it at
+            # S=197. Non-winning shapes fall through to 'auto'.
             attn_impl = "block"
     # OUTFITX_TOWER_MLP=pallas: fused MLP kernel (VMEM-resident mid tensor,
     # ops/mlp.py) — benchmark opt-in.

@@ -64,6 +64,15 @@ class PrecomputeRunner:
     ):
         self.cfg = cfg
         self.model_cfg = model_cfg or OutfitXConfig()
+        # Precompute is a frozen-tower forward sweep: route tower attention
+        # blocks through the fused Pallas kernel where it measured a win
+        # (text L=64: 1.19x — towers/common.py shape-guards the choice, so
+        # the vision shapes that lose fall through to the direct kernel;
+        # parity_artifacts/measure_r5/attn_block.out). An explicit
+        # OUTFITX_TOWER_ATTN in the environment still wins.
+        import os
+
+        os.environ.setdefault("OUTFITX_TOWER_ATTN", "block")
         self.encoder = encoder or ItemEncoderModel(self.model_cfg.item_encoder)
         self.params = params
         self.output_dir = pathlib.Path(

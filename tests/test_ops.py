@@ -372,33 +372,58 @@ class TestTowerPallasAttention:
             np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
         )
 
-    @pytest.mark.parametrize("causal", [False, True])
-    def test_tower_attn_block_route(self, rng, monkeypatch, causal):
+    @pytest.mark.parametrize(
+        "s,causal,expect_block",
+        [
+            # Winning band from the 2026-08-18 on-chip study: non-causal,
+            # sublane-aligned 32 < L <= 64 (siglip text L=64 is the user).
+            (48, False, True),
+            (64, False, True),
+            # Losing shapes must fall through to the 'auto' decomposed
+            # route: L not a sublane multiple (ViT-B/32 S=50 measured
+            # 0.87x) and causal (CLIP text L=77 measured 0.82x).
+            (50, False, False),
+            (48, True, False),
+        ],
+    )
+    def test_tower_attn_block_route(self, rng, monkeypatch, s, causal,
+                                    expect_block):
         """OUTFITX_TOWER_ATTN=block routes the whole attention block
-        (qkv proj + attention + out-proj) through ops/attn_block with
-        identical numerics, including the causal CLIP-text shape and a
-        key-padding mask."""
+        (qkv proj + attention + out-proj) through ops/attn_block ONLY at
+        the shapes where it measured a win (non-causal, sublane-aligned
+        32 < L <= 64), with identical numerics under a key-padding mask;
+        losing shapes fall through to the decomposed route."""
         from outfitx_tpu.models.towers.common import (
             apply_encoder,
             init_encoder_layers,
         )
+        from outfitx_tpu.ops import attn_block as attn_block_mod
 
         key = jax.random.PRNGKey(1)
         layers = init_encoder_layers(key, d=32, n_heads=4, d_mlp=64, n_layers=2)
-        x = jnp.asarray(rng.standard_normal((3, 50, 32)), dtype=jnp.float32)
+        x = jnp.asarray(rng.standard_normal((3, s, 32)), dtype=jnp.float32)
         mask = jnp.asarray(
-            np.arange(50)[None, :] >= rng.integers(5, 51, size=(3, 1))
+            np.arange(s)[None, :] >= rng.integers(5, s + 1, size=(3, 1))
         )
         monkeypatch.delenv("OUTFITX_TOWER_ATTN", raising=False)
         want = apply_encoder(
             layers, x, n_heads=4, act="quick_gelu", pad_mask=mask,
             causal=causal,
         )
+        calls = []
+        real = attn_block_mod.attn_block
+
+        def spy(*a, **k):
+            calls.append(1)
+            return real(*a, **k)
+
+        monkeypatch.setattr(attn_block_mod, "attn_block", spy)
         monkeypatch.setenv("OUTFITX_TOWER_ATTN", "block")
         got = apply_encoder(
             layers, x, n_heads=4, act="quick_gelu", pad_mask=mask,
             causal=causal,
         )
+        assert bool(calls) == expect_block
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
         )
