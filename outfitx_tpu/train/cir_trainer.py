@@ -28,13 +28,16 @@ from outfitx_tpu.data.sampler import (
 )
 from outfitx_tpu.data.splits import OutfitSplit
 from outfitx_tpu.evalm.retrieval_eval import recall_over_pools
-from outfitx_tpu.losses import set_wise_ranking_loss
 from outfitx_tpu.models import OutfitXModel
 from outfitx_tpu.parallel import gather_global
 from outfitx_tpu.train.harness import Trainer
 from outfitx_tpu.train.optim import make_optimizer
 from outfitx_tpu.train.state import TrainState
-from outfitx_tpu.train.steps import make_cir_eval_step, make_cir_train_step
+from outfitx_tpu.train.steps import (
+    make_cir_eval_loss_step,
+    make_cir_eval_step,
+    make_cir_train_step,
+)
 
 
 class CIRTrainer(Trainer):
@@ -90,6 +93,7 @@ class CIRTrainer(Trainer):
             self.model, self.tx, margin=self.cfg.margin
         )
         self.eval_step = make_cir_eval_step(self.model)
+        self.eval_loss_step = make_cir_eval_loss_step(margin=self.cfg.margin)
 
     def setup_data(self) -> None:
         if self._catalog is None:
@@ -122,6 +126,42 @@ class CIRTrainer(Trainer):
             pool_size=self.cfg.candidate_pool_size,
             threshold=self.pool_threshold,
             seed=self.cfg.seed,
+        )
+        # Stage the (immutable) eval queries on device ONCE. Re-shipping
+        # them every valid epoch — and worse, host-gathering pos/neg
+        # EMBEDDINGS for the eval loss (~450 MB/epoch at envelope scale) —
+        # leaks host RSS 1:1 in the axon relay's H2D path
+        # (scripts/probe_rss_leak.py), which OOM-killed the envelope CIR
+        # phase at ~epoch 261 (anon-rss 130.9 GB, dmesg). Per-epoch eval
+        # H2D is now ~300 KB of fresh negative indices, nothing else.
+        q = self._eval_queries
+        self._eval_batches_dev = [
+            (
+                {
+                    k: jax.device_put(b[k])
+                    for k in ("item_idx", "mask", "pos_idx")
+                },
+                b["valid"],
+            )
+            for b in eval_batches(
+                {
+                    "item_idx": q["item_idx"],
+                    "mask": q["mask"],
+                    "pos_idx": q["pos_idx"],
+                },
+                batch_size=self.eval_batch_size,
+            )
+        ]
+        valid = (
+            np.concatenate([v for _, v in self._eval_batches_dev])
+            if self._eval_batches_dev
+            else np.zeros(0, dtype=bool)
+        )
+        self._eval_valid_idx_dev = jax.device_put(
+            np.nonzero(valid)[0].astype(np.int32)
+        )
+        self._eval_pos_idx_dev = jax.device_put(
+            q["pos_idx"].astype(np.int32)
         )
         self.log(
             f"CIR data: train {len(self._train_split)} outfits, valid "
@@ -166,39 +206,63 @@ class CIRTrainer(Trainer):
         }
 
     # ------------------------------------------------------------- eval --
-    def _predict_targets(self) -> np.ndarray:
-        """y_hats (n, D) for all eval queries."""
+    def _predict_targets(self):
+        """y_hats (n, D) for all eval queries.
+
+        Single-process: a DEVICE array assembled from the pre-staged device
+        batches — zero H2D per epoch (the downstream loss/recall consumers
+        gather by index on device too). Multi-process SPMD: each host only
+        addresses its local shards, so fall back to the host-reassembled
+        np path via ``gather_global``."""
         q = self._eval_queries
         if len(q["pos_idx"]) == 0:  # no eval outfits survived the
             # large-category filter (tiny datasets)
             return np.zeros((0, self._catalog.d_embed), dtype=np.float32)
-        outs = []
-        valids = []
-        for batch in eval_batches(
-            {
-                "item_idx": q["item_idx"],
-                "mask": q["mask"],
-                "pos_idx": q["pos_idx"],
-            },
-            batch_size=self.eval_batch_size,
-        ):
-            y = self.eval_step(
+        if jax.process_count() > 1:
+            outs = []
+            valids = []
+            for batch in eval_batches(
+                {
+                    "item_idx": q["item_idx"],
+                    "mask": q["mask"],
+                    "pos_idx": q["pos_idx"],
+                },
+                batch_size=self.eval_batch_size,
+            ):
+                y = self.eval_step(
+                    self.state.params,
+                    self.catalog_dev,
+                    batch["item_idx"],
+                    batch["mask"],
+                    batch["pos_idx"],
+                )
+                outs.append(np.asarray(gather_global(y)))
+                valids.append(batch["valid"])
+            valid = np.concatenate(valids)
+            return np.concatenate(outs)[valid]
+        outs = [
+            self.eval_step(
                 self.state.params,
                 self.catalog_dev,
-                batch["item_idx"],
-                batch["mask"],
-                batch["pos_idx"],
+                b["item_idx"],
+                b["mask"],
+                b["pos_idx"],
             )
-            outs.append(np.asarray(gather_global(y)))
-            valids.append(batch["valid"])
-        valid = np.concatenate(valids)
-        return np.concatenate(outs)[valid]
+            for b, _ in self._eval_batches_dev
+        ]
+        y = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+        return jnp.take(y, self._eval_valid_idx_dev, axis=0)
 
-    def _eval_loss(self, epoch: int, y_hats: np.ndarray) -> float:
+    def _eval_loss(self, epoch: int, y_hats) -> float:
         """Ranking loss on eval queries with freshly sampled negatives
         (mirrors reference valid_epoch :122-170). ``y_hats`` is the
         already-computed `_predict_targets()` sweep — one eval forward per
-        epoch is shared between loss and recall."""
+        epoch is shared between loss and recall.
+
+        The pos/neg embeddings are gathered from the device catalog by
+        int32 index inside `eval_loss_step`; only the fresh negative
+        indices (~300 KB) cross host->device per epoch (relay-leak
+        hygiene — see setup_data)."""
         q = self._eval_queries
         mode = self._mode_for_epoch(epoch)
         neg_idx, neg_mask = sample_negatives_batch(
@@ -208,14 +272,16 @@ class CIRTrainer(Trainer):
             seed=self.cfg.seed,
             epoch=epoch,
         )
-        pos = self._catalog.embeddings[q["pos_idx"]]
-        negs = self._catalog.embeddings[neg_idx]
-        loss = set_wise_ranking_loss(
-            jnp.asarray(pos),
-            jnp.asarray(y_hats),
-            jnp.asarray(negs),
-            jnp.asarray(neg_mask),
-            margin=self.cfg.margin,
+        if not isinstance(y_hats, jax.Array):
+            y_hats = jax.device_put(
+                np.ascontiguousarray(y_hats, dtype=np.float32)
+            )
+        loss = self.eval_loss_step(
+            self.catalog_dev,
+            y_hats,
+            self._eval_pos_idx_dev,
+            jax.device_put(neg_idx.astype(np.int32)),
+            jax.device_put(neg_mask),
         )
         return float(loss)
 

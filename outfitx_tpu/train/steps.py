@@ -157,6 +157,30 @@ def make_cir_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_cir_eval_loss_step(*, margin: float = 2.0) -> Callable:
+    """Eval-epoch ranking loss with DEVICE-side embedding gathers.
+
+    The positives/negatives are gathered from the device-resident catalog
+    by int32 row index, so the per-epoch host->device payload is ~300 KB of
+    indices instead of the ~450 MB of f32 embeddings a host-side gather
+    would ship. That volume matters beyond bandwidth: the axon relay
+    client never frees H2D staging buffers (measured 1.000 MB RSS leaked
+    per MB transferred, scripts/probe_rss_leak.py), which is what
+    OOM-killed the envelope CIR phase at epoch ~261 (anon-rss 130.9 GB).
+
+    Mirrors reference valid_epoch loss
+    (complementary_item_retrieval_trainer.py:122-170)."""
+
+    def step(catalog, y_hats, pos_idx, neg_idx, neg_mask):
+        pos = jnp.take(catalog, pos_idx, axis=0)
+        negs = jnp.take(catalog, neg_idx, axis=0)
+        return set_wise_ranking_loss(
+            pos, y_hats, negs, neg_mask, margin=margin
+        )
+
+    return jax.jit(step)
+
+
 def make_cir_eval_step(model: OutfitXModel) -> Callable:
     """Predict target embeddings for retrieval eval: (B, D)."""
 

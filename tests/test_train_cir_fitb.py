@@ -102,6 +102,50 @@ class TestCIRTraining:
         assert "recall@1" in metrics and "loss" in metrics
         assert len(calls) == 1, f"eval forward ran {len(calls)}x per epoch"
 
+    def test_valid_epoch_h2d_is_explicit_indices_only(
+        self, synth, model_cfg, workdir
+    ):
+        """Relay-leak hygiene (envelope OOM root cause): the axon relay
+        client leaks host RSS 1:1 with every byte shipped host->device
+        (scripts/probe_rss_leak.py), so the eval epoch must ship ONLY
+        small, explicitly `jax.device_put` index/mask arrays — never
+        host-gathered embedding tensors (~450 MB/epoch at envelope scale,
+        which OOM-killed the campaign's CIR phase at anon-rss 130.9 GB).
+
+        `transfer_guard_host_to_device("disallow")` blocks implicit H2D
+        while allowing explicit device_put, so any reintroduced host-side
+        gather or np->jnp coercion in valid_epoch fails this test."""
+        import jax
+
+        cfg = CIRTrainConfig(
+            n_epochs=1,
+            batch_size=64,
+            accumulation_steps=1,
+            mesh=MeshConfig(data=4, model=1),
+            switch_to_hard_epoch=0,  # recall path always active
+            recall_every=1,
+            candidate_pool_size=128,
+            checkpoint_dir=str(workdir / "ckpt_h2d"),
+            log_dir=str(workdir / "logs_h2d"),
+        )
+        with CIRTrainer(
+            cfg,
+            model_cfg,
+            catalog=synth.catalog,
+            train_split=synth.cir_train,
+            valid_split=synth.cir_valid,
+            pool_threshold=1,
+        ) as t:
+            # epoch 0 outside the guard: compile-time constant uploads are
+            # one-time costs, not per-epoch leaks
+            warm = t.valid_epoch(epoch=0)
+            with jax.transfer_guard_host_to_device("disallow"):
+                metrics = t.valid_epoch(epoch=1)
+        assert "recall@1" in metrics and "loss" in metrics
+        assert np.isfinite(metrics["loss"])
+        # the guarded epoch resamples negatives but sees identical queries
+        assert metrics["recall@1"] == warm["recall@1"]
+
     def test_fitb_from_cir_checkpoint(self, synth, model_cfg, workdir):
         cfg = FITBTrainConfig(
             checkpoint_dir=str(workdir / "ckpt"),
