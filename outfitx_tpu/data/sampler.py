@@ -30,6 +30,14 @@ def _epoch_rng(seed: int, epoch: int, *extra: int) -> np.random.Generator:
     return np.random.default_rng([seed, epoch, *extra])
 
 
+def cp_epoch_order(n: int, *, seed: int, epoch: int) -> np.ndarray:
+    """The stateless per-epoch shuffle, shared by the host batch generator
+    and the trainer's device-gather path so both see identical batches
+    (design invariant: epoch shuffles come from ``default_rng([seed,
+    epoch])``)."""
+    return _epoch_rng(seed, epoch).permutation(n)
+
+
 def cp_train_batches(
     split: CPSplit,
     *,
@@ -44,7 +52,7 @@ def cp_train_batches(
     don't fill a full A*B super-batch are dropped (per-epoch reshuffle means
     nothing is starved)."""
     n = len(split)
-    order = _epoch_rng(seed, epoch).permutation(n)
+    order = cp_epoch_order(n, seed=seed, epoch=epoch)
     super_b = batch_size * accum_steps
     for start in range(0, n - super_b + 1, super_b):
         sel = order[start : start + super_b]

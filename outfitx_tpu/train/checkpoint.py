@@ -26,6 +26,14 @@ def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+def _np_dtype(name: str) -> np.dtype:
+    if name == "bfloat16":
+        import ml_dtypes
+
+        return np.dtype(ml_dtypes.bfloat16)
+    return np.dtype(name)
+
+
 def migrate_legacy_attn(params):
     """Stack pre-fusion per-projection attention params into the fused
     layout (wq/wk/wv -> wqkv (L, d, 3, d); bq/bk/bv -> bqkv (L, 3, d)).
@@ -55,9 +63,197 @@ class CheckpointManager:
         self.dir = pathlib.Path(root).absolute() / model_name
         self.dir.mkdir(parents=True, exist_ok=True)
         self._ckpt = ocp.PyTreeCheckpointer()
+        # async-save machinery (lazy): a single FIFO writer thread does the
+        # device->host transfer + orbax write off the training loop
+        self._lin_fn = None
+        self._worker = None
+        self._error: Optional[BaseException] = None
+
+    # -------------------------------------------------- fast np format --
+    # The relay's device->host path moves envelope-scale state at
+    # ~9-17 MB/s, and orbax's per-leaf protocol adds another ~53 s on the
+    # 1-core host, so a full (params + opt_state) save measured ~185 s.
+    # The fast path: linearize every device leaf to a layout-free uint8
+    # buffer in ONE jitted program (tiled 4D param layouts transfer at
+    # ~half the linear rate), one device_get, one uncompressed .npz +
+    # a json tree skeleton (~78 s total measured — see BENCHMARKS.md).
+    # Orbax remains the reader for legacy checkpoint dirs and the
+    # writer under multi-process SPMD.
+
+    def _linearize(self, leaves):
+        if self._lin_fn is None:
+            import jax.numpy as jnp
+
+            def lin_one(x):
+                if x.dtype == jnp.bool_:
+                    x = x.astype(jnp.uint8)
+                x = jnp.ravel(x)
+                if x.dtype == jnp.uint8:
+                    return x
+                return jax.lax.bitcast_convert_type(x, jnp.uint8).ravel()
+
+            self._lin_fn = jax.jit(lambda ls: [lin_one(x) for x in ls])
+        return self._lin_fn(leaves)
+
+    def _np_stage(self, payload):
+        """Flatten + linearize the device leaves NOW (fresh uint8 buffers
+        double as the donation-safe snapshot for async saves); no
+        device->host transfer happens yet."""
+        leaves, _ = jax.tree.flatten(payload)
+        counter = iter(range(len(leaves)))
+        skeleton = jax.tree.map(lambda _: next(counter), payload)
+        specs = [[list(x.shape), str(x.dtype)] for x in leaves]
+        is_dev = [isinstance(x, jax.Array) for x in leaves]
+        dev_bufs = iter(
+            self._linearize([x for x, d in zip(leaves, is_dev) if d])
+            if any(is_dev)
+            else ()
+        )
+        bufs = []
+        for x, d in zip(leaves, is_dev):
+            if d:
+                bufs.append(next(dev_bufs))
+            else:
+                a = np.asarray(x)
+                if a.dtype == bool:
+                    a = a.astype(np.uint8)
+                bufs.append(np.ascontiguousarray(a).view(np.uint8).ravel())
+        return {"skeleton": skeleton, "specs": specs, "bufs": bufs}
+
+    def _np_write(self, path: pathlib.Path, staged, meta) -> None:
+        """device_get the staged buffers (the expensive relay transfer —
+        this is what the writer thread keeps off the training loop) and
+        write atomically (tmp dir + rename)."""
+        import os
+        import shutil
+
+        bufs = [
+            np.asarray(b) if isinstance(b, jax.Array) else b
+            for b in staged["bufs"]
+        ]
+        tmp = path.parent / f".{path.name}.tmp{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        tmp.mkdir(parents=True)
+        np.savez(
+            tmp / "state.npz", **{f"leaf_{i}": b for i, b in enumerate(bufs)}
+        )
+        with open(tmp / "tree.json", "w") as f:
+            json.dump(
+                {"skeleton": staged["skeleton"], "specs": staged["specs"]}, f
+            )
+        with open(tmp / "meta.json", "w") as f:
+            json.dump(meta, f, indent=2, default=str)
+        if path.exists():
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+
+    @staticmethod
+    def _np_read(path: pathlib.Path):
+        with np.load(path / "state.npz") as z, open(path / "tree.json") as f:
+            info = json.load(f)
+            leaves = []
+            for i, (shape, dt) in enumerate(info["specs"]):
+                buf = z[f"leaf_{i}"]
+                if dt == "bool":
+                    arr = buf.astype(bool)
+                else:
+                    arr = buf.view(_np_dtype(dt))
+                leaves.append(arr.reshape(shape))
+
+        def build(sk):
+            if sk is None:
+                return None
+            if isinstance(sk, dict):
+                return {k: build(v) for k, v in sk.items()}
+            if isinstance(sk, list):
+                return [build(v) for v in sk]
+            return leaves[sk]
+
+        return build(info["skeleton"])
 
     def path(self, tag: str) -> pathlib.Path:
         return self.dir / tag
+
+    # ------------------------------------------------------ async saves --
+    def _ensure_worker(self) -> None:
+        if self._worker is not None:
+            return
+        import collections
+        import threading
+
+        self._cv = threading.Condition()
+        self._pending = {}  # path -> (staged, meta); newest wins per tag
+        self._order = collections.deque()
+        self._inflight = False
+
+        def loop():
+            while True:
+                with self._cv:
+                    while not self._order:
+                        self._cv.wait()
+                    path = self._order.popleft()
+                    staged, meta = self._pending.pop(path)
+                    self._inflight = True
+                try:
+                    self._np_write(path, staged, meta)
+                except BaseException as e:  # surfaced by wait()/save_async
+                    self._error = e
+                finally:
+                    with self._cv:
+                        self._inflight = False
+                        self._cv.notify_all()
+
+        self._worker = threading.Thread(
+            target=loop, name="ckpt-writer", daemon=True
+        )
+        self._worker.start()
+
+    def _raise_pending(self) -> None:
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError("async checkpoint save failed") from err
+
+    def save_async(self, tag: str, *, params, opt_state=None, **kwargs):
+        """Queue a save without stalling training: the linearize staging
+        (~ms of HBM copies — fresh buffers, so later donation of the live
+        state cannot invalidate them) runs now; the expensive relay D2H +
+        write run on the writer thread. FIFO order preserves same-tag
+        overwrite semantics; `wait()` drains before restore/final/exit.
+        Multi-process SPMD falls back to the synchronous orbax save."""
+        self._raise_pending()
+        if jax.process_count() > 1:
+            self.save(tag, params=params, opt_state=opt_state, **kwargs)
+            return
+        payload = {"params": params}
+        if opt_state is not None:
+            payload["opt_state"] = opt_state
+        staged = self._np_stage(payload)
+        meta = self._build_meta(**kwargs)
+        self._ensure_worker()
+        path = self.path(tag)
+        with self._cv:
+            if path in self._pending:
+                # COALESCE: a queued-but-not-started save of this tag is
+                # superseded — the same directory would be overwritten
+                # anyway, so write only the newest state (early training
+                # improves best_loss every epoch; without this the queue
+                # backpressure re-serializes the training loop)
+                self._pending[path] = (staged, meta)
+            else:
+                while len(self._order) >= 2:  # bound staged HBM copies
+                    self._cv.wait()
+                self._pending[path] = (staged, meta)
+                self._order.append(path)
+                self._cv.notify_all()
+
+    def wait(self) -> None:
+        """Block until every queued async save is on disk; re-raise any
+        writer-thread failure."""
+        if self._worker is not None:
+            with self._cv:
+                while self._order or self._inflight:
+                    self._cv.wait()
+        self._raise_pending()
 
     def save(
         self,
@@ -73,10 +269,30 @@ class CheckpointManager:
         overwrite: bool = True,
     ) -> pathlib.Path:
         path = self.path(tag)
-        payload = {"params": _to_host(params)}
+        meta = self._build_meta(
+            step=step, epoch=epoch, metrics=metrics, config=config, best=best
+        )
+        payload = {"params": params}
         if opt_state is not None:
-            payload["opt_state"] = _to_host(opt_state)
-        self._ckpt.save(path, payload, force=overwrite)
+            payload["opt_state"] = opt_state
+        if jax.process_count() == 1:
+            self._np_write(path, self._np_stage(payload), meta)
+        else:
+            # multi-process SPMD: orbax coordinates sharded leaves
+            self._ckpt.save(path, _to_host(payload), force=overwrite)
+            with open(path / "meta.json", "w") as f:
+                json.dump(meta, f, indent=2, default=str)
+        return path
+
+    @staticmethod
+    def _build_meta(
+        *,
+        step: int = 0,
+        epoch: int = 0,
+        metrics: Optional[Dict[str, float]] = None,
+        config: Any = None,
+        best: Optional[Dict[str, float]] = None,
+    ) -> Dict[str, Any]:
         meta = {
             "step": int(step),
             "epoch": int(epoch),
@@ -88,9 +304,7 @@ class CheckpointManager:
             meta["best"] = {k: float(v) for k, v in best.items()}
         if config is not None and dataclasses.is_dataclass(config):
             meta["config"] = dataclasses.asdict(config)
-        with open(path / "meta.json", "w") as f:
-            json.dump(meta, f, indent=2, default=str)
-        return path
+        return meta
 
     def restore(
         self,
@@ -100,9 +314,12 @@ class CheckpointManager:
         """template: pytree skeleton (e.g. {'params': ..., 'opt_state': ...})
         so structured leaves (optax NamedTuples) restore into the right
         container types rather than raw dicts/lists."""
+        self.wait()  # an in-flight async save may be writing this tag
         path = pathlib.Path(tag_or_path)
         if not path.exists():
             path = self.path(str(tag_or_path))
+        if (path / "state.npz").exists():
+            return self._restore_np(path, template)
         probe = self._ckpt.restore(path)
         legacy = migrate_legacy_attn(probe.get("params", {}))
         if template is not None and not legacy:
@@ -134,7 +351,35 @@ class CheckpointManager:
         payload["meta"] = meta
         return payload
 
+    def _restore_np(self, path: pathlib.Path, template) -> Dict[str, Any]:
+        raw = self._np_read(path)
+        migrate_legacy_attn(raw.get("params", {}))
+        if template is not None:
+            payload: Dict[str, Any] = {}
+            for k in template:
+                if k in raw:
+                    # leaf order is stable: both sides flatten the same
+                    # logical structure (sorted dict keys; NamedTuples
+                    # saved as index-ordered lists)
+                    payload[k] = jax.tree.unflatten(
+                        jax.tree.structure(template[k]),
+                        jax.tree.leaves(raw[k]),
+                    )
+            for k in raw:
+                if k not in payload:
+                    payload[k] = raw[k]
+        else:
+            payload = raw
+        meta_path = path / "meta.json"
+        meta = {}
+        if meta_path.exists():
+            with open(meta_path) as f:
+                meta = json.load(f)
+        payload["meta"] = meta
+        return payload
+
     def exists(self, tag: str) -> bool:
+        self.wait()  # queued async saves count as existing-once-settled
         return self.path(tag).exists()
 
 

@@ -19,7 +19,11 @@ import numpy as np
 
 from outfitx_tpu.core.config import CPTrainConfig, OutfitXConfig
 from outfitx_tpu.data.catalog import Catalog
-from outfitx_tpu.data.sampler import cp_train_batches, eval_batches
+from outfitx_tpu.data.sampler import (
+    cp_epoch_order,
+    cp_train_batches,
+    eval_batches,
+)
 from outfitx_tpu.data.splits import CPSplit
 from outfitx_tpu.evalm import binary_classification_metrics
 from outfitx_tpu.losses import focal_loss
@@ -29,6 +33,27 @@ from outfitx_tpu.train.harness import Trainer
 from outfitx_tpu.train.optim import make_optimizer
 from outfitx_tpu.train.state import TrainState
 from outfitx_tpu.train.steps import make_cp_eval_step, make_cp_train_step
+
+
+def _make_super_batch_gather(accum_steps: int, batch_size: int):
+    """ONE jitted program (a single remote compile, reused every step of
+    every epoch) that slices a train super-batch out of the device-resident
+    split tensors by shuffle order. `start` is a traced scalar so each of
+    the epoch's steps hits the same executable."""
+    super_b = accum_steps * batch_size
+
+    @jax.jit
+    def gather(item_idx, mask, label, order, start):
+        sel = jax.lax.dynamic_slice_in_dim(order, start, super_b)
+        return (
+            jnp.take(item_idx, sel, axis=0).reshape(
+                accum_steps, batch_size, -1
+            ),
+            jnp.take(mask, sel, axis=0).reshape(accum_steps, batch_size, -1),
+            jnp.take(label, sel, axis=0).reshape(accum_steps, batch_size),
+        )
+
+    return gather
 
 
 class CPTrainer(Trainer):
@@ -42,6 +67,7 @@ class CPTrainer(Trainer):
         train_split: Optional[CPSplit] = None,
         valid_split: Optional[CPSplit] = None,
         eval_batch_size: Optional[int] = None,
+        device_batches: bool = True,
     ):
         super().__init__(cfg, run_mode)
         self.model_cfg = model_cfg or OutfitXConfig()
@@ -49,6 +75,10 @@ class CPTrainer(Trainer):
         self._train_split = train_split
         self._valid_split = valid_split
         self.eval_batch_size = eval_batch_size or cfg.batch_size
+        # Stage the split on device and gather batches there (single-
+        # process only); False forces the host np generator — the
+        # multihost path and the equivalence-test baseline.
+        self.device_batches = device_batches
 
     @property
     def model_name(self) -> str:
@@ -81,6 +111,19 @@ class CPTrainer(Trainer):
             gamma=self.cfg.focal_gamma,
         )
         self.eval_step = make_cp_eval_step(self.model)
+        # jitted per-example eval loss: one program instead of ~10 eager
+        # ufunc dispatches per eval batch (each a remote execution through
+        # the relay, and each shipping its Python scalar constants H2D)
+        import functools
+
+        self._eval_loss_fn = jax.jit(
+            functools.partial(
+                focal_loss,
+                alpha=self.cfg.focal_alpha,
+                gamma=self.cfg.focal_gamma,
+                reduction="none",
+            )
+        )
 
     def setup_data(self) -> None:
         if self._catalog is None:
@@ -104,18 +147,81 @@ class CPTrainer(Trainer):
             f"({self.catalog_dev.nbytes / 1e6:.1f} MB on device); "
             f"train {len(self._train_split)}, valid {len(self._valid_split)} outfits"
         )
+        # Device-resident splits (relay-leak hygiene, see CIR setup_data /
+        # BENCHMARKS.md post-mortem): the split tensors are staged ONCE and
+        # batches gathered on device by the shuffle order, so per-epoch H2D
+        # is the 0.4 MB int32 order instead of ~34 MB of gathered batch
+        # tensors (~1.4 s/epoch of relay time, 6.8 GB leaked RSS over the
+        # 200-epoch envelope). Multi-process keeps the host generator.
+        self._train_split_dev = None
+        self._eval_batches_dev = None
+        if self.device_batches and jax.process_count() == 1:
+            self._train_split_dev = {
+                "item_idx": jax.device_put(self._train_split.item_rows),
+                "mask": jax.device_put(self._train_split.mask),
+                "label": jax.device_put(self._train_split.labels),
+            }
+            self._gather_super_batch = _make_super_batch_gather(
+                self.cfg.accumulation_steps, self.cfg.batch_size
+            )
+            # the eval split never changes: device arrays for the step +
+            # host labels/valid for the metric accumulation
+            self._eval_batches_dev = [
+                (
+                    {
+                        "item_idx": jax.device_put(b["item_idx"]),
+                        "mask": jax.device_put(b["mask"]),
+                        "label": jax.device_put(b["label"]),
+                    },
+                    b["label"],
+                    b["valid"],
+                )
+                for b in eval_batches(
+                    {
+                        "item_idx": self._valid_split.item_rows,
+                        "mask": self._valid_split.mask,
+                        "label": self._valid_split.labels,
+                    },
+                    batch_size=self.eval_batch_size,
+                )
+            ]
 
     # ------------------------------------------------------------ train --
+    def _iter_train_batches(self, epoch: int):
+        """Per-epoch super-batches: gathered ON DEVICE from the staged
+        split by the (identical) stateless shuffle order when staging is
+        active, else the host np generator."""
+        if self._train_split_dev is None:
+            yield from cp_train_batches(
+                self._train_split,
+                batch_size=self.cfg.batch_size,
+                accum_steps=self.cfg.accumulation_steps,
+                epoch=epoch,
+                seed=self.cfg.seed,
+            )
+            return
+        n = len(self._train_split)
+        super_b = self.cfg.batch_size * self.cfg.accumulation_steps
+        order = jax.device_put(
+            cp_epoch_order(n, seed=self.cfg.seed, epoch=epoch).astype(
+                np.int32
+            )
+        )
+        s = self._train_split_dev
+        for start in range(0, n - super_b + 1, super_b):
+            item_idx, mask, label = self._gather_super_batch(
+                s["item_idx"],
+                s["mask"],
+                s["label"],
+                order,
+                jax.device_put(np.int32(start)),
+            )
+            yield {"item_idx": item_idx, "mask": mask, "label": label}
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         losses, all_scores, all_labels = [], [], []
         log_every = self.cfg.log_every_steps
-        for step_i, batch in enumerate(cp_train_batches(
-            self._train_split,
-            batch_size=self.cfg.batch_size,
-            accum_steps=self.cfg.accumulation_steps,
-            epoch=epoch,
-            seed=self.cfg.seed,
-        )):
+        for step_i, batch in enumerate(self._iter_train_batches(epoch)):
             self.state, out = self.train_step(
                 self.state, self.catalog_dev, batch
             )
@@ -146,15 +252,24 @@ class CPTrainer(Trainer):
         return metrics
 
     def _eval_split(self, split: CPSplit) -> Dict[str, float]:
+        # the eval split is immutable: use the device-staged batches when
+        # they cover this split (H2D-free epochs), else batch from host
+        if self._eval_batches_dev is not None and split is self._valid_split:
+            batches = iter(self._eval_batches_dev)
+        else:
+            batches = (
+                (batch, batch["label"], batch["valid"])
+                for batch in eval_batches(
+                    {
+                        "item_idx": split.item_rows,
+                        "mask": split.mask,
+                        "label": split.labels,
+                    },
+                    batch_size=self.eval_batch_size,
+                )
+            )
         scores_all, labels_all, valid_all, losses = [], [], [], []
-        for batch in eval_batches(
-            {
-                "item_idx": split.item_rows,
-                "mask": split.mask,
-                "label": split.labels,
-            },
-            batch_size=self.eval_batch_size,
-        ):
+        for batch, label_host, valid in batches:
             s = self.eval_step(
                 self.state.params,
                 self.catalog_dev,
@@ -165,21 +280,11 @@ class CPTrainer(Trainer):
             # (eval_batches 'valid' mask) are excluded from the mean too,
             # not only from the score metrics
             losses.append(
-                np.asarray(
-                    gather_global(
-                        focal_loss(
-                            jnp.asarray(s),
-                            jnp.asarray(batch["label"]),
-                            alpha=self.cfg.focal_alpha,
-                            gamma=self.cfg.focal_gamma,
-                            reduction="none",
-                        )
-                    )
-                )
+                np.asarray(gather_global(self._eval_loss_fn(s, batch["label"])))
             )
             scores_all.append(np.asarray(gather_global(s)))
-            labels_all.append(batch["label"])
-            valid_all.append(batch["valid"])
+            labels_all.append(label_host)
+            valid_all.append(valid)
         if not scores_all:
             return {}
         valid = np.concatenate(valid_all)

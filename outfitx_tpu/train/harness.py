@@ -196,12 +196,22 @@ class Trainer(abc.ABC):
             self.metrics_log.log(split, epoch, metrics)
 
     # ------------------------------------------------------ checkpoints --
+    def _ckpt_save(self, tag: str, **kwargs) -> None:
+        """Route a mid-run save through the async writer (default): the
+        training loop pays only a device snapshot (~ms) instead of the
+        20-120 s relay D2H + orbax write a synchronous save of envelope-
+        scale state costs. `cfg.async_saves=False` restores sync saves."""
+        if getattr(self.cfg, "async_saves", False):
+            self.ckpt.save_async(tag, **kwargs)
+        else:
+            self.ckpt.save(tag, **kwargs)
+
     def maybe_save_best(
         self, metrics: Dict[str, float], *, params, epoch: int
     ) -> None:
         for name, value in metrics.items():
             if name in self.best.mode and self.best.update(name, value):
-                self.ckpt.save(
+                self._ckpt_save(
                     f"best_{name}",
                     params=params,
                     epoch=epoch,
@@ -222,7 +232,7 @@ class Trainer(abc.ABC):
         if state is None or self.ckpt is None:
             return
         t0 = time.perf_counter()
-        self.ckpt.save(
+        self._ckpt_save(
             "latest",
             params=state.params,
             opt_state=state.opt_state,
@@ -233,6 +243,11 @@ class Trainer(abc.ABC):
         )
         self.log(
             f"saved latest (epoch {epoch}) in {time.perf_counter()-t0:.1f}s"
+            + (
+                " (queued async)"
+                if getattr(self.cfg, "async_saves", False)
+                else ""
+            )
         )
 
     def resume(self, tag_or_path: str = "final") -> None:
@@ -267,6 +282,14 @@ class Trainer(abc.ABC):
 
     def __exit__(self, exc_type, exc, tb) -> None:
         try:
+            # drain pending async saves FIRST — even on exceptional exit a
+            # queued best/latest save must reach disk (and stay FIFO-
+            # ordered before the final save below)
+            if self.ckpt is not None:
+                with contextlib.suppress(Exception) if exc_type else (
+                    contextlib.nullcontext()
+                ):
+                    self.ckpt.wait()
             if exc_type is None and self.run_mode == "train-valid":
                 params = getattr(self, "state", None)
                 if params is not None and self.ckpt is not None:

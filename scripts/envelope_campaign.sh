@@ -20,7 +20,7 @@ cd /root/repo
 
 DS=${1:-/tmp/polyvore250k}
 CK=${2:-/tmp/envelope_ckpt}
-LOGDIR=/root/repo/logs/envelope
+LOGDIR=${LOGDIR:-/root/repo/logs/envelope}
 SAVE_EVERY=${SAVE_EVERY:-15}
 MAX_RETRIES=${MAX_RETRIES:-30}
 MODEL=outfitx-tpu-siglip-d1536
@@ -78,7 +78,7 @@ run_phase() { # name cmd... ; retries with --resume latest when a checkpoint exi
 # Continuously pin the committed record (phase wall-clocks + metric
 # trajectories) so a round boundary mid-campaign still leaves the partial
 # trajectories in the repo (logs/ itself is gitignored).
-ART=/root/repo/parity_artifacts/envelope
+ART=${ART:-/root/repo/parity_artifacts/envelope}
 sync_artifacts() {
   mkdir -p "$ART"
   cp "$PHASES" "$ART/" 2>/dev/null

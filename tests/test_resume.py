@@ -99,11 +99,13 @@ def test_resume_preserves_best_metric_state(tmp_path):
         t2.maybe_save_best(
             {"auc": best_auc - 0.1}, params=t2.state.params, epoch=99
         )
+        t2.ckpt.wait()  # saves are async by default; settle before reading
         assert json.loads(meta_path.read_text()) == saved
         # a better one still does
         t2.maybe_save_best(
             {"auc": best_auc + 0.1}, params=t2.state.params, epoch=100
         )
+        t2.ckpt.wait()
         assert json.loads(meta_path.read_text())["epoch"] == 100
         t2.run()
 
@@ -194,3 +196,89 @@ def test_save_every_latest_rolling_resume(tmp_path):
         )
         metrics = t2.run()
     assert np.isfinite(metrics["loss"])
+
+
+def test_async_save_snapshot_survives_donation(tmp_path):
+    """save_async must capture the state AS OF the save call: the trainer
+    keeps training (donating its old param buffers) while the writer
+    thread is still transferring — a bare reference would be invalidated
+    by donation, so the manager snapshots on device first."""
+    import jax.numpy as jnp
+
+    from outfitx_tpu.train.checkpoint import CheckpointManager
+
+    import jax
+
+    @jax.jit
+    def donate_step(p):
+        return jax.tree.map(lambda x: x + 1.0, p)
+
+    donate_step = jax.jit(
+        lambda p: jax.tree.map(lambda x: x + 1.0, p), donate_argnums=0
+    )
+
+    params = {"w": jnp.arange(8.0), "b": jnp.ones((3, 3))}
+    expected = {k: np.asarray(v) for k, v in params.items()}
+    cm = CheckpointManager(tmp_path, "m")
+    cm.save_async("snap", params=params, epoch=0)
+    for _ in range(3):  # donates the old buffers while the save is queued
+        params = donate_step(params)
+    cm.wait()
+    out = cm.restore("snap")
+    for k, v in expected.items():
+        np.testing.assert_array_equal(np.asarray(out["params"][k]), v)
+    # and the trainer's state kept evolving independently
+    np.testing.assert_array_equal(
+        np.asarray(params["w"]), expected["w"] + 3.0
+    )
+
+
+def test_async_saves_fifo_same_tag(tmp_path):
+    """Consecutive async saves to one tag land in order: the last write
+    wins, exactly like the sync rolling-'latest' semantics."""
+    import jax.numpy as jnp
+
+    from outfitx_tpu.train.checkpoint import CheckpointManager
+
+    cm = CheckpointManager(tmp_path, "m")
+    for i in range(4):
+        cm.save_async("latest", params={"w": jnp.full((4,), float(i))}, epoch=i)
+    cm.wait()
+    out = cm.restore("latest")
+    np.testing.assert_array_equal(np.asarray(out["params"]["w"]), np.full(4, 3.0))
+    assert out["meta"]["epoch"] == 3
+
+
+def test_async_saves_coalesce_same_tag(tmp_path):
+    """A queued-but-not-started save of a tag is superseded by a newer
+    one (the directory would be overwritten anyway); distinct tags keep
+    FIFO order. Guards the backpressure fix for early-training best-metric
+    churn."""
+    import threading
+
+    import jax.numpy as jnp
+
+    from outfitx_tpu.train.checkpoint import CheckpointManager
+
+    cm = CheckpointManager(tmp_path, "m")
+    gate = threading.Event()
+    orig_write = cm._np_write
+    writes = []
+
+    def slow_write(path, staged, meta):
+        gate.wait(10)
+        writes.append(path.name)
+        orig_write(path, staged, meta)
+
+    cm._np_write = slow_write
+    # first save occupies the writer at the gate; the next two 'latest'
+    # coalesce while queued
+    cm.save_async("best_auc", params={"w": jnp.zeros(2)}, epoch=0)
+    for i in (1, 2, 3):
+        cm.save_async("latest", params={"w": jnp.full((2,), float(i))}, epoch=i)
+    gate.set()
+    cm.wait()
+    assert writes == ["best_auc", "latest"], writes  # one coalesced write
+    out = cm.restore("latest")
+    np.testing.assert_array_equal(np.asarray(out["params"]["w"]), np.full(2, 3.0))
+    assert out["meta"]["epoch"] == 3

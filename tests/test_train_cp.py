@@ -99,6 +99,57 @@ class TestCPTraining:
         np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-4)
         np.testing.assert_allclose(a["auc"], b["auc"], rtol=1e-4)
 
+    def test_device_batches_match_host_generator(self, synth, cfgs):
+        """The device-gather batch path (split staged on device, batches
+        sliced by the shuffle order in one jitted program) must reproduce
+        the host np generator's training EXACTLY — same stateless shuffle,
+        same data, same dropout stream."""
+        model_cfg, train_cfg = cfgs
+        import dataclasses
+
+        cfg = dataclasses.replace(train_cfg, n_epochs=2)
+
+        def run_once(device_batches):
+            with CPTrainer(
+                cfg,
+                model_cfg,
+                catalog=synth.catalog,
+                train_split=synth.cp_train,
+                valid_split=synth.cp_valid,
+                device_batches=device_batches,
+            ) as t:
+                return t.run()
+
+        a = run_once(True)
+        b = run_once(False)
+        for k in ("loss", "auc", "acc"):
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+    def test_train_epoch_h2d_is_explicit_only(self, synth, cfgs):
+        """Relay-leak hygiene for the CP loop (see the CIR counterpart in
+        test_train_cir_fitb.py): with the split device-staged, a train +
+        valid epoch ships only explicit `jax.device_put` payloads (the
+        int32 shuffle order), so implicit H2D is banned outright."""
+        import dataclasses
+
+        import jax
+
+        model_cfg, train_cfg = cfgs
+        cfg = dataclasses.replace(train_cfg, n_epochs=1)
+        with CPTrainer(
+            cfg,
+            model_cfg,
+            catalog=synth.catalog,
+            train_split=synth.cp_train,
+            valid_split=synth.cp_valid,
+        ) as t:
+            t.run()  # warm every program outside the guard
+            with jax.transfer_guard_host_to_device("disallow"):
+                train_m = t.train_epoch(epoch=1)
+                valid_m = t._eval_split(t._valid_split)
+        assert np.isfinite(train_m["loss"])
+        assert np.isfinite(valid_m["loss"]) and "auc" in valid_m
+
     def test_eval_loss_ignores_padded_rows(self, synth, cfgs):
         """eval_batches pads the last batch by wrap-around; the reported
         eval loss must exclude those rows exactly like the score metrics —
