@@ -26,6 +26,15 @@ def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+# Async-save snapshots are device-resident until written; bound their total
+# so saves queued faster than the relay drains them cannot OOM the 16 GB
+# HBM next to the live state + catalog + activations (one full envelope
+# state is ~1.16 GB). A single oversized save is always admitted.
+_ASYNC_STAGED_BYTES_MAX = int(
+    __import__("os").environ.get("OUTFITX_CKPT_STAGED_MAX", 1_600_000_000)
+)
+
+
 def _np_dtype(name: str) -> np.dtype:
     if name == "bfloat16":
         import ml_dtypes
@@ -89,7 +98,11 @@ class CheckpointManager:
                     x = x.astype(jnp.uint8)
                 x = jnp.ravel(x)
                 if x.dtype == jnp.uint8:
-                    return x
+                    # barrier keeps this a real jaxpr output: a pure
+                    # passthrough would ALIAS the live buffer (jit
+                    # short-circuits identity outputs), breaking the
+                    # donation-safe-snapshot contract for uint8 leaves
+                    return jax.lax.optimization_barrier(x)
                 return jax.lax.bitcast_convert_type(x, jnp.uint8).ravel()
 
             self._lin_fn = jax.jit(lambda ls: [lin_one(x) for x in ls])
@@ -118,7 +131,12 @@ class CheckpointManager:
                 if a.dtype == bool:
                     a = a.astype(np.uint8)
                 bufs.append(np.ascontiguousarray(a).view(np.uint8).ravel())
-        return {"skeleton": skeleton, "specs": specs, "bufs": bufs}
+        return {
+            "skeleton": skeleton,
+            "specs": specs,
+            "bufs": bufs,
+            "nbytes": sum(b.nbytes for b in bufs),
+        }
 
     def _np_write(self, path: pathlib.Path, staged, meta) -> None:
         """device_get the staged buffers (the expensive relay transfer —
@@ -185,6 +203,7 @@ class CheckpointManager:
         self._pending = {}  # path -> (staged, meta); newest wins per tag
         self._order = collections.deque()
         self._inflight = False
+        self._staged_bytes = 0  # queued + in-flight snapshot HBM
 
         def loop():
             while True:
@@ -201,6 +220,8 @@ class CheckpointManager:
                 finally:
                     with self._cv:
                         self._inflight = False
+                        self._staged_bytes -= staged["nbytes"]
+                        staged["bufs"] = None  # release snapshot HBM now
                         self._cv.notify_all()
 
         self._worker = threading.Thread(
@@ -238,11 +259,24 @@ class CheckpointManager:
                 # anyway, so write only the newest state (early training
                 # improves best_loss every epoch; without this the queue
                 # backpressure re-serializes the training loop)
+                old, _ = self._pending[path]
+                self._staged_bytes -= old["nbytes"]
                 self._pending[path] = (staged, meta)
+                self._staged_bytes += staged["nbytes"]
             else:
-                while len(self._order) >= 2:  # bound staged HBM copies
+                # Backpressure in BYTES, not entries: snapshots live in
+                # HBM next to the live state, catalog and activations on
+                # a 16 GB device — bound the total (block until the
+                # writer drains) rather than letting a best_recall +
+                # best_loss + latest pile up ~3.5 GB. A single oversized
+                # save is always admitted (no deadlock).
+                while (self._order or self._inflight) and (
+                    self._staged_bytes + staged["nbytes"]
+                    > _ASYNC_STAGED_BYTES_MAX
+                ):
                     self._cv.wait()
                 self._pending[path] = (staged, meta)
+                self._staged_bytes += staged["nbytes"]
                 self._order.append(path)
                 self._cv.notify_all()
 
@@ -276,6 +310,10 @@ class CheckpointManager:
         if opt_state is not None:
             payload["opt_state"] = opt_state
         if jax.process_count() == 1:
+            if not overwrite and path.exists():
+                raise FileExistsError(
+                    f"{path} exists and overwrite=False"
+                )
             self._np_write(path, self._np_stage(payload), meta)
         else:
             # multi-process SPMD: orbax coordinates sharded leaves

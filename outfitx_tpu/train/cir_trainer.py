@@ -135,34 +135,36 @@ class CIRTrainer(Trainer):
         # phase at ~epoch 261 (anon-rss 130.9 GB, dmesg). Per-epoch eval
         # H2D is now ~300 KB of fresh negative indices, nothing else.
         q = self._eval_queries
-        self._eval_batches_dev = [
-            (
-                {
-                    k: jax.device_put(b[k])
-                    for k in ("item_idx", "mask", "pos_idx")
-                },
-                b["valid"],
-            )
-            for b in eval_batches(
-                {
-                    "item_idx": q["item_idx"],
-                    "mask": q["mask"],
-                    "pos_idx": q["pos_idx"],
-                },
-                batch_size=self.eval_batch_size,
-            )
-        ]
-        valid = (
-            np.concatenate([v for _, v in self._eval_batches_dev])
-            if self._eval_batches_dev
-            else np.zeros(0, dtype=bool)
-        )
-        self._eval_valid_idx_dev = jax.device_put(
-            np.nonzero(valid)[0].astype(np.int32)
-        )
         self._eval_pos_idx_dev = jax.device_put(
             q["pos_idx"].astype(np.int32)
         )
+        self._eval_batches_dev = None
+        if jax.process_count() == 1:  # multihost uses the host branch
+            self._eval_batches_dev = [
+                (
+                    {
+                        k: jax.device_put(b[k])
+                        for k in ("item_idx", "mask", "pos_idx")
+                    },
+                    b["valid"],
+                )
+                for b in eval_batches(
+                    {
+                        "item_idx": q["item_idx"],
+                        "mask": q["mask"],
+                        "pos_idx": q["pos_idx"],
+                    },
+                    batch_size=self.eval_batch_size,
+                )
+            ]
+            valid = (
+                np.concatenate([v for _, v in self._eval_batches_dev])
+                if self._eval_batches_dev
+                else np.zeros(0, dtype=bool)
+            )
+            self._eval_valid_idx_dev = jax.device_put(
+                np.nonzero(valid)[0].astype(np.int32)
+            )
         self.log(
             f"CIR data: train {len(self._train_split)} outfits, valid "
             f"{len(self._valid_split)}; {len(self._pools.pools)} candidate "

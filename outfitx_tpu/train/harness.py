@@ -241,13 +241,15 @@ class Trainer(abc.ABC):
             config=self.cfg,
             best=self.best.best,
         )
+        import jax
+
+        went_async = (
+            getattr(self.cfg, "async_saves", False)
+            and jax.process_count() == 1  # save_async falls back sync else
+        )
         self.log(
             f"saved latest (epoch {epoch}) in {time.perf_counter()-t0:.1f}s"
-            + (
-                " (queued async)"
-                if getattr(self.cfg, "async_saves", False)
-                else ""
-            )
+            + (" (queued async)" if went_async else "")
         )
 
     def resume(self, tag_or_path: str = "final") -> None:

@@ -23,7 +23,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset-dir", default="/tmp/polyvore250k")
     ap.add_argument("--epochs", type=int, default=3)
-    ap.add_argument("--remat", action="store_true", default=True)
+    ap.add_argument("--no-remat", dest="remat", action="store_false")
     args = ap.parse_args()
 
     from outfitx_tpu.core import runtime

@@ -209,10 +209,6 @@ def test_async_save_snapshot_survives_donation(tmp_path):
 
     import jax
 
-    @jax.jit
-    def donate_step(p):
-        return jax.tree.map(lambda x: x + 1.0, p)
-
     donate_step = jax.jit(
         lambda p: jax.tree.map(lambda x: x + 1.0, p), donate_argnums=0
     )
