@@ -278,3 +278,23 @@ def test_async_saves_coalesce_same_tag(tmp_path):
     out = cm.restore("latest")
     np.testing.assert_array_equal(np.asarray(out["params"]["w"]), np.full(2, 3.0))
     assert out["meta"]["epoch"] == 3
+
+
+def test_async_save_byte_backpressure_no_deadlock(tmp_path, monkeypatch):
+    """With a tiny staged-bytes bound, distinct-tag saves must block and
+    drain rather than deadlock, and every tag still lands on disk; a
+    single save larger than the bound is admitted (no livelock)."""
+    import jax.numpy as jnp
+
+    from outfitx_tpu.train import checkpoint as ck
+
+    monkeypatch.setattr(ck, "_ASYNC_STAGED_BYTES_MAX", 64)  # bytes
+    cm = ck.CheckpointManager(tmp_path, "m")
+    for i in range(4):  # each save stages 4 KB >> the 64 B bound
+        cm.save_async(f"tag{i}", params={"w": jnp.full((1024,), float(i))}, epoch=i)
+    cm.wait()
+    for i in range(4):
+        out = cm.restore(f"tag{i}")
+        np.testing.assert_array_equal(
+            np.asarray(out["params"]["w"]), np.full(1024, float(i))
+        )
