@@ -235,12 +235,13 @@ class CheckpointManager:
             raise RuntimeError("async checkpoint save failed") from err
 
     def save_async(self, tag: str, *, params, opt_state=None, **kwargs):
-        """Queue a save without stalling training: the linearize staging
-        (~ms of HBM copies — fresh buffers, so later donation of the live
-        state cannot invalidate them) runs now; the expensive relay D2H +
-        write run on the writer thread. FIFO order preserves same-tag
-        overwrite semantics; `wait()` drains before restore/final/exit.
-        Multi-process SPMD falls back to the synchronous orbax save."""
+        """Queue a save with only the D2H transfer on the training loop:
+        linearize staging (~ms of HBM copies — fresh buffers, donation-
+        safe) and the device->host fetch run here; the npz write + fsync
+        + atomic rename run on the writer thread. FIFO order preserves
+        same-tag overwrite semantics; `wait()` drains before
+        restore/final/exit. Multi-process SPMD falls back to the
+        synchronous orbax save."""
         self._raise_pending()
         if jax.process_count() > 1:
             self.save(tag, params=params, opt_state=opt_state, **kwargs)
@@ -249,6 +250,17 @@ class CheckpointManager:
         if opt_state is not None:
             payload["opt_state"] = opt_state
         staged = self._np_stage(payload)
+        # Fetch device->host ON THIS THREAD. A background-thread
+        # device_get deadlocks the relay client when the main thread is
+        # parked (observed 2026-08-19: campaign writer futex-waiting in
+        # np.asarray forever, conn threads idle, while a fresh process
+        # talked to the chip fine) — so the loop pays the D2H (the fast
+        # linearized path) and the writer thread handles only the pure
+        # host-side npz write + atomic rename.
+        staged["bufs"] = [
+            np.asarray(b) if isinstance(b, jax.Array) else b
+            for b in staged["bufs"]
+        ]
         meta = self._build_meta(**kwargs)
         self._ensure_worker()
         path = self.path(tag)
