@@ -60,7 +60,23 @@ def _causal_keep(l_q: int, l_k: int):
     return col <= row
 
 
-def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, causal: bool = False):
+def _block_keep(l_q: int, l_k: int, block: int):
+    """(Lq, Lk) bool: True where query and key fall in the same
+    ``block``-sized diagonal block. Compile-time constant — the outfit
+    -packing route tiles ``pack`` independent outfits of length ``block``
+    along the sequence dim and this mask keeps their score blocks
+    mutually invisible (cross-outfit scores are set to _NEG, which
+    underflows to exactly 0.0 through the f32 softmax, so each outfit's
+    attention is bit-identical to running it alone)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (l_q, l_k), 0) // block
+    col = jax.lax.broadcasted_iota(jnp.int32, (l_q, l_k), 1) // block
+    return row == col
+
+
+def _mha_kernel(
+    q_ref, k_ref, v_ref, mask_ref, o_ref,
+    *, causal: bool = False, block: int = 0,
+):
     # Blocks: q/k/v (TB, 1, L, Dh); mask (TB, 1, L) — the singleton middle
     # axis keeps the mask block's trailing dims (1, L) legal for any TB
     # (Pallas requires trailing block dims (8k, 128k) OR equal to the
@@ -82,6 +98,10 @@ def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, causal: bool = False):
     scores = jnp.where(mask, _NEG, scores)
     if causal:
         scores = jnp.where(_causal_keep(*scores.shape[-2:])[None], scores, _NEG)
+    if block:
+        scores = jnp.where(
+            _block_keep(*scores.shape[-2:], block)[None], scores, _NEG
+        )
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores)
     probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
@@ -137,7 +157,7 @@ def _pad_batch(q, k, v, pad_mask, tile_b):
     return q, k, v, pad_mask, pad_b
 
 
-def _mha_pallas_impl(q, k, v, pad_mask, causal: bool = False):
+def _mha_pallas_impl(q, k, v, pad_mask, causal: bool = False, block: int = 0):
     b, h, l, dh = q.shape
     cap = int(os.environ.get("OUTFITX_MHA_TILE", "0")) or _tile_cap(l)
     tile_b = max(1, min(cap, b))
@@ -147,7 +167,7 @@ def _mha_pallas_impl(q, k, v, pad_mask, causal: bool = False):
         (tile_b, 1, l, dh), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
-        functools.partial(_mha_kernel, causal=causal),
+        functools.partial(_mha_kernel, causal=causal, block=block),
         grid=grid,
         in_specs=[
             qkv_spec,
@@ -167,7 +187,7 @@ def _mha_pallas_impl(q, k, v, pad_mask, causal: bool = False):
 
 def _mha_bwd_kernel(
     q_ref, k_ref, v_ref, mask_ref, g_ref, dq_ref, dk_ref, dv_ref,
-    *, causal: bool = False,
+    *, causal: bool = False, block: int = 0,
 ):
     # One fused backward per (batch-tile, head): recompute the tiny (L, L)
     # score/prob matrices in VMEM (cheaper than spilling them to HBM in the
@@ -191,6 +211,10 @@ def _mha_bwd_kernel(
     scores = jnp.where(mask, _NEG, scores)
     if causal:
         scores = jnp.where(_causal_keep(*scores.shape[-2:])[None], scores, _NEG)
+    if block:
+        scores = jnp.where(
+            _block_keep(*scores.shape[-2:], block)[None], scores, _NEG
+        )
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores)
     p = e / jnp.sum(e, axis=-1, keepdims=True)  # (TB, L, L) f32
@@ -211,7 +235,8 @@ def _mha_bwd_kernel(
     dv_ref[:, 0] = dv.astype(dv_ref.dtype)
 
 
-def _mha_bwd_pallas_impl(q, k, v, pad_mask, g, causal: bool = False):
+def _mha_bwd_pallas_impl(q, k, v, pad_mask, g, causal: bool = False,
+                         block: int = 0):
     b, h, l, dh = q.shape
     # Backward keeps its own measured cap (64 at L<=32): with five
     # in-program matmuls the VMEM/unroll pressure differs from the
@@ -232,7 +257,7 @@ def _mha_bwd_pallas_impl(q, k, v, pad_mask, g, causal: bool = False):
     )
     shape = jax.ShapeDtypeStruct((pad_b, h, l, dh), q.dtype)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_mha_bwd_kernel, causal=causal),
+        functools.partial(_mha_bwd_kernel, causal=causal, block=block),
         grid=grid,
         in_specs=[
             qkv_spec,
@@ -251,16 +276,19 @@ def _mha_bwd_pallas_impl(q, k, v, pad_mask, g, causal: bool = False):
     return dq[:b], dk[:b], dv[:b]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _mha_pallas(q, k, v, pad_mask, causal=False):
-    return _mha_pallas_impl(q, k, v, pad_mask, causal)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _mha_pallas(q, k, v, pad_mask, causal=False, block=0):
+    return _mha_pallas_impl(q, k, v, pad_mask, causal, block)
 
 
-def _mha_fwd(q, k, v, pad_mask, causal):
-    return _mha_pallas_impl(q, k, v, pad_mask, causal), (q, k, v, pad_mask)
+def _mha_fwd(q, k, v, pad_mask, causal, block):
+    return (
+        _mha_pallas_impl(q, k, v, pad_mask, causal, block),
+        (q, k, v, pad_mask),
+    )
 
 
-def _mha_bwd(causal, res, g):
+def _mha_bwd(causal, block, res, g):
     q, k, v, pad_mask = res
     if (
         os.environ.get("OUTFITX_MHA_BWD", "pallas") == "pallas"
@@ -269,18 +297,90 @@ def _mha_bwd(causal, res, g):
         # Fused single-kernel backward: recomputes the tiny (L, L)
         # scores/probs in VMEM and emits dq/dk/dv in one pass (measured
         # faster than the XLA recompute chain at the flagship shape).
-        dq, dk, dv = _mha_bwd_pallas_impl(q, k, v, pad_mask, g, causal)
+        dq, dk, dv = _mha_bwd_pallas_impl(q, k, v, pad_mask, g, causal, block)
         return dq, dk, dv, None
     # OUTFITX_MHA_BWD=xla: recompute-based backward through the XLA path.
-    _, vjp = jax.vjp(
-        lambda q, k, v: _mha_reference(q, k, v, pad_mask, causal=causal),
-        q, k, v,
-    )
+    def ref(q, k, v):
+        out = _mha_reference(q, k, v, pad_mask, causal=causal)
+        return out
+
+    if block:
+        # The XLA reference has no block-diagonal branch; differentiate
+        # the per-outfit formulation by unpacking, which is exactly
+        # equivalent (cross-outfit probs are exactly 0).
+        def ref(q, k, v):  # noqa: F811
+            b, h, lp, dh = q.shape
+            pack = lp // block
+
+            def unpack(t):
+                return (
+                    t.reshape(b, h, pack, block, dh)
+                    .transpose(0, 2, 1, 3, 4)
+                    .reshape(b * pack, h, block, dh)
+                )
+
+            m = pad_mask.reshape(b * pack, block)
+            o = _mha_reference(unpack(q), unpack(k), unpack(v), m)
+            return (
+                o.reshape(b, pack, h, block, dh)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(b, h, lp, dh)
+            )
+
+    _, vjp = jax.vjp(ref, q, k, v)
     dq, dk, dv = vjp(g)
     return dq, dk, dv, None
 
 
 _mha_pallas.defvjp(_mha_fwd, _mha_bwd)
+
+
+def _mha_pallas_packed(q, k, v, pad_mask, pack: int):
+    """Outfit packing for tiny-L set attention: tile ``pack`` outfits of
+    length L along the sequence dim (pack*L <= 128) so each per-program
+    score/combine matmul fills a full MXU tile instead of L/128 of one.
+    Cross-outfit scores are masked by the compile-time block-diagonal
+    mask (see ``_block_keep``) and underflow to exactly 0.0 through the
+    f32 softmax, so outputs are bit-identical to the unpacked kernel.
+
+    MEASURED NEGATIVE on v5e (2026-08-19, scripts/probe_mha_pack.py,
+    flagship shape B=4096 H=16 L=17 Dh=96): kernel-only 9.32 ms packed vs
+    6.78 ms unpacked, + 6.43 ms of pack/unpack transposes = 16.7 ms end
+    -to-end (2.4x WORSE; tile-insensitive across 8/16/32). Why the MXU
+    -fill thesis fails: the L=17 core is score-block-traffic/VPU-bound,
+    not MXU-pass-bound (BENCHMARKS.md formulation study), and packing
+    inflates per-outfit score work by the pack factor — (pack*L)^2
+    elements per pack outfits = pack*L^2 per outfit vs L^2 unpacked —
+    which the saved MXU passes cannot buy back. Kept as an opt-in
+    (OUTFITX_MHA_PACK=auto|<int>) negative-result formulation, like the
+    fused-MLP and flash studies.
+    """
+    b, h, l, dh = q.shape
+    bp = round_up(b, pack)
+    if bp != b:
+        pad = ((0, bp - b), (0, 0), (0, 0), (0, 0))
+        q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
+        mrow = jnp.ones((bp - b, l), dtype=pad_mask.dtype).at[:, 0].set(False)
+        pad_mask = jnp.concatenate([pad_mask, mrow], axis=0)
+    g = bp // pack
+
+    def packf(t):
+        return (
+            t.reshape(g, pack, h, l, dh)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(g, h, pack * l, dh)
+        )
+
+    out = _mha_pallas(
+        packf(q), packf(k), packf(v),
+        pad_mask.reshape(g, pack * l), False, l,
+    )
+    out = (
+        out.reshape(g, h, pack, l, dh)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(bp, h, l, dh)
+    )
+    return out[:b]
 
 
 def _mha_flash_nomask(q, k, v):
@@ -389,5 +489,12 @@ def masked_mha(q, k, v, pad_mask, *, causal: bool = False, impl: str = "auto"):
             return _mha_reference(q, k, v, pad_mask, causal=causal)
         if l > direct_max:
             return _mha_pallas_padded(q, k, v, pad_mask, causal)
+        # Outfit packing (see _mha_pallas_packed): measured NEGATIVE on
+        # v5e and kept opt-in only. OUTFITX_MHA_PACK: "0"/"1"/unset (off,
+        # default), "auto" (pack to 128 rows), or an explicit pack factor.
+        pack_env = os.environ.get("OUTFITX_MHA_PACK", "1")
+        pack = 128 // l if pack_env == "auto" else int(pack_env)
+        if not causal and l <= 32 and pack > 1 and q.shape[0] >= pack:
+            return _mha_pallas_packed(q, k, v, pad_mask, pack)
         return _mha_pallas(q, k, v, pad_mask, causal)
     return _mha_reference(q, k, v, pad_mask, causal=causal)

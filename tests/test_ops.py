@@ -173,6 +173,112 @@ class TestMaskedMHA:
             )
 
 
+class TestPackedMHA:
+    """Outfit packing (pack outfits along the sequence dim with a
+    compile-time block-diagonal mask) must be numerically equivalent to
+    the unpacked kernel — cross-outfit scores underflow to exactly 0.0
+    through the f32 softmax (ops/attention._mha_pallas_packed)."""
+
+    def _inputs(self, rng, b, h=4, l=17, dh=32, dtype=jnp.float32):
+        q, k, v = (
+            jnp.asarray(rng.standard_normal((b, h, l, dh)), dtype=dtype)
+            for _ in range(3)
+        )
+        mask = jnp.asarray(
+            np.arange(l)[None, :] >= rng.integers(2, l + 1, size=(b, 1))
+        )
+        return q, k, v, mask
+
+    @pytest.mark.parametrize("b", [37, 23])  # multiple of pack and not
+    def test_forward_matches_reference(self, rng, b):
+        from outfitx_tpu.ops.attention import (
+            _mha_pallas_packed, _mha_reference,
+        )
+
+        q, k, v, mask = self._inputs(rng, b)
+        got = _mha_pallas_packed(q, k, v, mask, 7)
+        want = _mha_reference(q, k, v, mask)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+        )
+
+    def test_forward_bf16_bitwise_vs_unpacked(self, rng):
+        # The packed kernel's extra contraction terms are exact 0.0 adds,
+        # so at matching dtypes it reproduces the unpacked kernel
+        # bitwise in interpret mode.
+        from outfitx_tpu.ops.attention import _mha_pallas, _mha_pallas_packed
+
+        q, k, v, mask = self._inputs(rng, 14, dtype=jnp.bfloat16)
+        got = _mha_pallas_packed(q, k, v, mask, 7)
+        want = _mha_pallas(q, k, v, mask)
+        assert got.dtype == want.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(got, np.float32), np.asarray(want, np.float32)
+        )
+
+    @pytest.mark.parametrize("bwd", ["pallas", "xla"])
+    def test_grads_match_reference(self, rng, bwd, monkeypatch):
+        from outfitx_tpu.ops.attention import (
+            _mha_pallas_packed, _mha_reference,
+        )
+
+        monkeypatch.setenv("OUTFITX_MHA_BWD", bwd)
+        q, k, v, mask = self._inputs(rng, 23)
+
+        def loss(fn):
+            return lambda q, k, v: jnp.sum(fn(q, k, v) ** 2)
+
+        got = jax.grad(
+            loss(lambda q, k, v: _mha_pallas_packed(q, k, v, mask, 7)),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        want = jax.grad(
+            loss(lambda q, k, v: _mha_reference(q, k, v, mask)),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+            )
+
+    def test_pack_route_is_opt_in(self, rng, monkeypatch):
+        # Packing measured NEGATIVE on v5e (probe_mha_pack.py) so the
+        # default route must NOT pack; OUTFITX_MHA_PACK=auto opts in.
+        from outfitx_tpu.ops import attention as attn_mod
+
+        q, k, v, mask = self._inputs(rng, 21)
+        calls = {}
+        orig = attn_mod._mha_pallas_packed
+
+        def spy(q, k, v, m, pack):
+            calls["pack"] = pack
+            return orig(q, k, v, m, pack)
+
+        monkeypatch.setattr(attn_mod, "_mha_pallas_packed", spy)
+        attn_mod.masked_mha(q, k, v, mask, impl="pallas")
+        assert "pack" not in calls
+        monkeypatch.setenv("OUTFITX_MHA_PACK", "auto")
+        out = attn_mod.masked_mha(q, k, v, mask, impl="pallas")
+        assert calls["pack"] == 128 // 17
+        want = attn_mod._mha_reference(q, k, v, mask)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(want), atol=1e-5, rtol=1e-5
+        )
+
+    def test_masked_key_grads_are_zero(self, rng):
+        from outfitx_tpu.ops.attention import _mha_pallas_packed
+
+        q, k, v, mask = self._inputs(rng, 14)
+
+        def loss(q, k, v):
+            return jnp.sum(_mha_pallas_packed(q, k, v, mask, 7) ** 2)
+
+        _, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        m = np.broadcast_to(np.asarray(mask)[:, None, :, None], dk.shape)
+        assert np.all(np.asarray(dk)[m] == 0)
+        assert np.all(np.asarray(dv)[m] == 0)
+
+
 class TestRetrieval:
     def test_pairwise_l2_matches_torch_cdist(self, rng):
         import torch
