@@ -197,9 +197,11 @@ class TrainConfig:
     # manual re-launch + load_checkpoint, SURVEY.md §5).
     save_every_epochs: int = 0
     # Mid-run checkpoint saves (best-metric, rolling latest) go through a
-    # writer thread: the loop pays an HBM snapshot (~ms) instead of the
-    # 20-120 s device->host transfer + write (BENCHMARKS.md). The final
-    # save and every restore drain the queue first. False = sync saves.
+    # writer thread. The loop still pays the device->host fetch (a
+    # background-thread device_get wedges the relay client — see
+    # checkpoint.save_async), but the npz write + fsync + atomic swap
+    # run off the loop. The final save and every restore drain the
+    # queue first. False = fully synchronous saves.
     async_saves: bool = True
     log_every_steps: int = 0  # >0: per-step train loss to the metrics JSONL
     # (the reference's {metric}/train/batch wandb stream)

@@ -493,7 +493,13 @@ def masked_mha(q, k, v, pad_mask, *, causal: bool = False, impl: str = "auto"):
         # v5e and kept opt-in only. OUTFITX_MHA_PACK: "0"/"1"/unset (off,
         # default), "auto" (pack to 128 rows), or an explicit pack factor.
         pack_env = os.environ.get("OUTFITX_MHA_PACK", "1")
-        pack = 128 // l if pack_env == "auto" else int(pack_env)
+        if pack_env == "auto":
+            pack = 128 // l
+        else:
+            try:
+                pack = int(pack_env)
+            except ValueError:
+                pack = 1  # "", "off", typos: opt-in stays off, never crash
         if not causal and l <= 32 and pack > 1 and q.shape[0] >= pack:
             return _mha_pallas_packed(q, k, v, pad_mask, pack)
         return _mha_pallas(q, k, v, pad_mask, causal)

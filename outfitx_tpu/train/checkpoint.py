@@ -26,10 +26,12 @@ def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
-# Async-save snapshots are device-resident until written; bound their total
-# so saves queued faster than the relay drains them cannot OOM the 16 GB
-# HBM next to the live state + catalog + activations (one full envelope
-# state is ~1.16 GB). A single oversized save is always admitted.
+# Async-save snapshots are HOST-RAM numpy buffers by the time they are
+# queued (save_async pays the D2H on the calling thread — see the relay
+# deadlock note there); bound their total so saves queued faster than the
+# writer drains them cannot pile up next to the relay client's own leaked
+# staging buffers (one full envelope state is ~1.16 GB). A single
+# oversized save is always admitted.
 _ASYNC_STAGED_BYTES_MAX = int(
     __import__("os").environ.get("OUTFITX_CKPT_STAGED_MAX", 1_600_000_000)
 )
@@ -139,9 +141,12 @@ class CheckpointManager:
         }
 
     def _np_write(self, path: pathlib.Path, staged, meta) -> None:
-        """device_get the staged buffers (the expensive relay transfer —
-        this is what the writer thread keeps off the training loop) and
-        write atomically (tmp dir + rename)."""
+        """Write the staged buffers atomically (tmp dir + rename-aside
+        swap). On the synchronous save() path the buffers are still device
+        arrays and the np.asarray below pays the D2H here; on the async
+        path save_async already fetched them to host numpy (the relay
+        client deadlocks on background-thread device_get), so the writer
+        thread does pure host-side IO."""
         import os
         import shutil
 
@@ -161,9 +166,17 @@ class CheckpointManager:
             )
         with open(tmp / "meta.json", "w") as f:
             json.dump(meta, f, indent=2, default=str)
+        # Swap via rename-aside: deleting the old checkpoint BEFORE the
+        # rename leaves a multi-second window (rmtree of ~1.2 GB) where a
+        # crash destroys the only resume point. Two renames shrink that
+        # window to microseconds; the old dir is deleted only after the
+        # new one is in place.
+        old = path.parent / f".{path.name}.old{os.getpid()}"
+        shutil.rmtree(old, ignore_errors=True)
         if path.exists():
-            shutil.rmtree(path)
+            os.replace(path, old)
         os.replace(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
 
     @staticmethod
     def _np_read(path: pathlib.Path):
@@ -203,7 +216,7 @@ class CheckpointManager:
         self._pending = {}  # path -> (staged, meta); newest wins per tag
         self._order = collections.deque()
         self._inflight = False
-        self._staged_bytes = 0  # queued + in-flight snapshot HBM
+        self._staged_bytes = 0  # queued + in-flight snapshot host RAM
 
         def loop():
             while True:
@@ -276,12 +289,12 @@ class CheckpointManager:
                 self._pending[path] = (staged, meta)
                 self._staged_bytes += staged["nbytes"]
             else:
-                # Backpressure in BYTES, not entries: snapshots live in
-                # HBM next to the live state, catalog and activations on
-                # a 16 GB device — bound the total (block until the
-                # writer drains) rather than letting a best_recall +
-                # best_loss + latest pile up ~3.5 GB. A single oversized
-                # save is always admitted (no deadlock).
+                # Backpressure in BYTES, not entries: snapshots are host
+                # numpy buffers living next to the relay client's leaked
+                # staging memory on the 1-core host — bound the total
+                # (block until the writer drains) rather than letting a
+                # best_recall + best_loss + latest pile up ~3.5 GB. A
+                # single oversized save is always admitted (no deadlock).
                 while (self._order or self._inflight) and (
                     self._staged_bytes + staged["nbytes"]
                     > _ASYNC_STAGED_BYTES_MAX
@@ -292,13 +305,18 @@ class CheckpointManager:
                 self._order.append(path)
                 self._cv.notify_all()
 
-    def wait(self) -> None:
-        """Block until every queued async save is on disk; re-raise any
-        writer-thread failure."""
+    def _drain(self) -> None:
+        """Block until every queued async save is on disk (failures stay
+        pending for the next wait()/save_async to surface)."""
         if self._worker is not None:
             with self._cv:
                 while self._order or self._inflight:
                     self._cv.wait()
+
+    def wait(self) -> None:
+        """Block until every queued async save is on disk; re-raise any
+        writer-thread failure."""
+        self._drain()
         self._raise_pending()
 
     def save(
@@ -314,6 +332,13 @@ class CheckpointManager:
         best: Optional[Dict[str, float]] = None,
         overwrite: bool = True,
     ) -> pathlib.Path:
+        # Drain queued async saves first: a stale queued snapshot of the
+        # same tag must not land AFTER this newer synchronous write (and
+        # a concurrent writer-thread _np_write of the same tag would
+        # collide on the same-pid tmp dir). Failures stay pending — a
+        # final sync save should not be aborted by an unrelated earlier
+        # async error (wait() still surfaces it).
+        self._drain()
         path = self.path(tag)
         meta = self._build_meta(
             step=step, epoch=epoch, metrics=metrics, config=config, best=best

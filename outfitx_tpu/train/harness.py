@@ -286,12 +286,17 @@ class Trainer(abc.ABC):
         try:
             # drain pending async saves FIRST — even on exceptional exit a
             # queued best/latest save must reach disk (and stay FIFO-
-            # ordered before the final save below)
+            # ordered before the final save below). An async-writer
+            # failure must NOT abort the final save: the final state is
+            # healthy regardless of an earlier transient write error, so
+            # save final first and surface the stored error after.
+            pending_err = None
             if self.ckpt is not None:
-                with contextlib.suppress(Exception) if exc_type else (
-                    contextlib.nullcontext()
-                ):
+                try:
                     self.ckpt.wait()
+                except Exception as e:
+                    if exc_type is None:
+                        pending_err = e
             if exc_type is None and self.run_mode == "train-valid":
                 params = getattr(self, "state", None)
                 if params is not None and self.ckpt is not None:
@@ -305,6 +310,8 @@ class Trainer(abc.ABC):
                         best=self.best.best,
                     )
                     self.log("saved final checkpoint")
+            if pending_err is not None:
+                raise pending_err
         finally:
             if self.metrics_log is not None:
                 with contextlib.suppress(Exception):

@@ -1,13 +1,16 @@
 #!/bin/bash
 # On-chip measurement batch (bounded, default ~90 min), then the envelope
-# campaign. Queued work from round 4 (BENCHMARKS.md "Round 4 status"):
-# runs each probe under a timeout, logs to parity_artifacts/measure_r4/
+# campaign. All round-4 study probes landed and were adopted/recorded
+# (BENCHMARKS.md), so the standing queue is now the health + headline set:
+# verify drive, compiled golden checks, headline re-pin (bench.py measures
+# pinned AND fresh, keeps the better executable), and the 10-minute
+# production serving soak. Logs to parity_artifacts/measure_auto/
 # (committed by the driver's end-of-round snapshot), then launches
 # scripts/envelope_campaign.sh in the background.
 #
 #   bash scripts/measure_batch.sh [budget_seconds]
 cd /root/repo
-M=/root/repo/parity_artifacts/measure_r4
+M=${M:-/root/repo/parity_artifacts/measure_auto}
 mkdir -p "$M"
 T0=$(date +%s)
 BUDGET=${1:-5400}
@@ -22,15 +25,10 @@ run() { # name timeout cmd...
   echo "=== $name rc=$? t=$(($(date +%s) - T0))s ===" >> "$M/batch.log"
 }
 
-run drive          900  python scripts/verify_drive.py
-run tpu_smoke      1500 python scripts/tpu_smoke.py
-run ffn_pad        2700 python scripts/bench_ffn_pad.py --train
-run clip_text_xla    1200 python scripts/bench_clip_text_attn.py xla
-run clip_text_pallas 1200 python scripts/bench_clip_text_attn.py pallas
-run attn_block     1500 python scripts/bench_attn_block.py
-run dh_pack        1500 python scripts/bench_dh_pack.py
-run bench_pin      1800 python bench.py
-run coalesce       1500 python scripts/bench_coalesce.py
+run drive      900  python scripts/verify_drive.py
+run tpu_smoke  1500 python scripts/tpu_smoke.py
+run bench_pin  1800 python bench.py
+run soak       3600 python scripts/soak_serving.py --minutes 10
 
 echo "=== measurement batch done, launching campaign ===" >> "$M/batch.log"
 MAX_RETRIES=200 nohup bash scripts/envelope_campaign.sh > /tmp/envelope.out 2>&1 &

@@ -265,6 +265,21 @@ class TestPackedMHA:
             np.asarray(out), np.asarray(want), atol=1e-5, rtol=1e-5
         )
 
+    @pytest.mark.parametrize("env", ["off", "", "none"])
+    def test_pack_env_garbage_is_off_not_crash(self, rng, monkeypatch, env):
+        # A user disabling the opt-in with OUTFITX_MHA_PACK=off (or a
+        # shell leaving it empty) must fall back to the unpacked route,
+        # not ValueError inside every forward pass.
+        from outfitx_tpu.ops import attention as attn_mod
+
+        q, k, v, mask = self._inputs(rng, 21)
+        monkeypatch.setenv("OUTFITX_MHA_PACK", env)
+        out = attn_mod.masked_mha(q, k, v, mask, impl="pallas")
+        want = attn_mod._mha_reference(q, k, v, mask)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(want), atol=1e-5, rtol=1e-5
+        )
+
     def test_masked_key_grads_are_zero(self, rng):
         from outfitx_tpu.ops.attention import _mha_pallas_packed
 

@@ -298,3 +298,99 @@ def test_async_save_byte_backpressure_no_deadlock(tmp_path, monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(out["params"]["w"]), np.full(1024, float(i))
         )
+
+
+def test_sync_save_drains_async_queue(tmp_path):
+    """A synchronous save() must not race a queued async save of the same
+    tag: the stale queued snapshot would otherwise land AFTER (and silently
+    overwrite) the newer sync write. save() drains the queue first."""
+    import threading
+    import time
+
+    import jax.numpy as jnp
+
+    from outfitx_tpu.train.checkpoint import CheckpointManager
+
+    cm = CheckpointManager(tmp_path, "m")
+    gate = threading.Event()
+    orig_write = cm._np_write
+    writes = []
+
+    def slow_write(path, staged, meta):
+        gate.wait(10)
+        writes.append(meta["epoch"])
+        orig_write(path, staged, meta)
+
+    cm._np_write = slow_write
+    cm.save_async("latest", params={"w": jnp.zeros(2)}, epoch=0)
+    threading.Timer(0.2, gate.set).start()
+    t0 = time.perf_counter()
+    cm.save("latest", params={"w": jnp.ones(2)}, epoch=1)
+    assert time.perf_counter() - t0 >= 0.15  # it actually waited
+    cm.wait()
+    assert writes == [0, 1], writes  # async landed first, sync last
+    out = cm.restore("latest")
+    np.testing.assert_array_equal(np.asarray(out["params"]["w"]), np.ones(2))
+    assert out["meta"]["epoch"] == 1
+
+
+def test_overwrite_never_deletes_before_swap(tmp_path):
+    """Overwriting a tag must never rmtree the live checkpoint dir before
+    the replacement is in place (a crash mid-delete would destroy the only
+    resume point); the swap goes rename-aside -> rename-in -> delete-aside,
+    and leaves no .tmp/.old litter behind."""
+    import shutil
+
+    import jax.numpy as jnp
+
+    from outfitx_tpu.train import checkpoint as ck
+
+    cm = ck.CheckpointManager(tmp_path, "m")
+    cm.save("latest", params={"w": jnp.zeros(2)}, epoch=0)
+    live = cm.path("latest")
+    removed = []
+    orig_rmtree = shutil.rmtree
+
+    def spy_rmtree(p, *a, **k):
+        removed.append(str(p))
+        return orig_rmtree(p, *a, **k)
+
+    shutil.rmtree = spy_rmtree
+    try:
+        cm.save("latest", params={"w": jnp.ones(2)}, epoch=1)
+    finally:
+        shutil.rmtree = orig_rmtree
+    assert str(live) not in removed, removed  # only aside/tmp dirs deleted
+    out = cm.restore("latest")
+    assert out["meta"]["epoch"] == 1
+    litter = [p.name for p in live.parent.iterdir() if p.name != "latest"]
+    assert litter == [], litter
+
+
+def test_final_save_survives_async_write_error(tmp_path):
+    """An earlier async-writer failure must not abort a later synchronous
+    save (the final state is healthy regardless); the stored error still
+    surfaces on the next explicit wait()."""
+    import jax.numpy as jnp
+    import pytest
+
+    from outfitx_tpu.train.checkpoint import CheckpointManager
+
+    cm = CheckpointManager(tmp_path, "m")
+    orig_write = cm._np_write
+    fail_once = [True]
+
+    def flaky_write(path, staged, meta):
+        if fail_once[0]:
+            fail_once[0] = False
+            raise OSError("transient ENOSPC")
+        orig_write(path, staged, meta)
+
+    cm._np_write = flaky_write
+    cm.save_async("best_auc", params={"w": jnp.zeros(2)}, epoch=0)
+    cm._drain()  # writer consumed the failure
+    cm.save("final", params={"w": jnp.ones(2)}, epoch=5)  # must not raise
+    with pytest.raises(RuntimeError, match="async checkpoint save failed"):
+        cm.wait()  # the stored error still surfaces once
+    out = cm.restore("final")
+    assert out["meta"]["epoch"] == 5
