@@ -286,13 +286,20 @@ def pes(output_dir, weights, **kw):
     help="coalesce concurrent /api/cp requests into one fused device "
     "program within this window (serve/coalesce.py)",
 )
-def demo(port, synthetic, mock, quantized, exact_topk, coalesce_ms):
+@click.option(
+    "--catalog-dtype", type=click.Choice(["float32", "bfloat16"]),
+    default="float32",
+    help="device catalog storage dtype; bfloat16 halves catalog HBM and "
+    "H2D staging (compute is bf16 either way; ~1e-3 score shift)",
+)
+def demo(port, synthetic, mock, quantized, exact_topk, coalesce_ms,
+         catalog_dtype):
     """Serving demo (reference src/demo/app.py, port 6006)."""
     from outfitx_tpu.serve.app import build_engine, serve
 
     engine = build_engine(
         synthetic=synthetic, mock=mock, quantized=quantized,
-        exact_topk=exact_topk,
+        exact_topk=exact_topk, catalog_dtype=catalog_dtype,
     )
     serve(port=port, engine=engine, mock=mock, coalesce_ms=coalesce_ms)
 

@@ -39,9 +39,13 @@ jax.tree_util.register_dataclass(
 )
 
 
-def quantize_catalog(embeddings: jax.Array) -> QuantizedCatalog:
-    """Per-row symmetric int8: scale = max|row| / 127."""
-    x = embeddings.astype(jnp.float32)
+@jax.jit
+def _quantize_block(x: jax.Array) -> tuple:
+    """Per-row symmetric int8 for one (C, D) block: scale = max|row| / 127.
+
+    Row-independent math, so quantizing a catalog block-by-block is
+    bit-identical to quantizing it in one shot."""
+    x = x.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(x), axis=-1)
     scales = jnp.where(absmax > 0, absmax / 127.0, 1.0)
     values = jnp.clip(
@@ -50,7 +54,54 @@ def quantize_catalog(embeddings: jax.Array) -> QuantizedCatalog:
     deq_norms = jnp.sum(
         (values.astype(jnp.float32) * scales[:, None]) ** 2, axis=-1
     )
-    return QuantizedCatalog(values=values, scales=scales, sq_norms=deq_norms)
+    return values, scales, deq_norms
+
+
+def quantize_catalog(
+    embeddings: jax.Array, *, n_rows: int | None = None,
+    block_rows: int = 131_072,
+) -> QuantizedCatalog:
+    """Per-row symmetric int8: scale = max|row| / 127.
+
+    Quantizes ``embeddings[:n_rows]`` (default: all rows) in fixed-size
+    blocks. The one-shot eager version materialized several catalog-sized
+    f32 temporaries at once (the f32 upcast, the round/clip chain, the
+    dequant-norm product) — at 1M items x 1536 that is 3-4 live 6.1 GB
+    arrays, which OOMs a 16 GB chip before serving even starts (seen:
+    parity_artifacts/measure_r6/serving_1m_*.out). Blocking bounds peak
+    extra HBM to one jitted block's temporaries (~1.6 GB f32 at the default
+    block) + the int8 outputs, and the per-row math makes the result
+    bit-identical to the one-shot computation (golden-tested).
+
+    ``n_rows`` exists so callers with a trailing PAD row (serve/engine.py)
+    can exclude it WITHOUT creating a catalog-sized slice copy here; blocks
+    are cut with ``lax.dynamic_slice_in_dim``, which copies one block, not
+    the catalog. The final block is cut overlapping from ``n - block`` so
+    every block has the same shape (one compiled program); the overlap rows
+    are dropped when assembling.
+    """
+    n = int(embeddings.shape[0]) if n_rows is None else int(n_rows)
+    if n <= block_rows:
+        values, scales, deq_norms = _quantize_block(embeddings[:n])
+        return QuantizedCatalog(
+            values=values, scales=scales, sq_norms=deq_norms
+        )
+    vals, scls, nrms = [], [], []
+    done = 0  # rows already emitted
+    while done < n:
+        start = min(done, n - block_rows)  # tail block overlaps backwards
+        block = jax.lax.dynamic_slice_in_dim(embeddings, start, block_rows, 0)
+        v, s, m = _quantize_block(block)
+        off = done - start  # rows of this block already covered by the prior
+        vals.append(v[off:])
+        scls.append(s[off:])
+        nrms.append(m[off:])
+        done = start + block_rows
+    return QuantizedCatalog(
+        values=jnp.concatenate(vals),
+        scales=jnp.concatenate(scls),
+        sq_norms=jnp.concatenate(nrms),
+    )
 
 
 def retrieve_quantized(

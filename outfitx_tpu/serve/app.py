@@ -251,6 +251,7 @@ def build_engine(
     checkpoint_dir: str = "checkpoints",
     quantized: bool = False,
     exact_topk: bool = False,
+    catalog_dtype: str = "float32",
 ):
     """Engine wiring (reference app.py loads CP + CIR checkpoints and the
     embedding catalog at module import, :51-116)."""
@@ -348,6 +349,7 @@ def build_engine(
         # serving defaults to the TPU-native approximate top-k (recall
         # ~0.995 at 2.3x lower latency); --exact-topk restores lax.top_k
         approx_topk=not exact_topk,
+        catalog_dtype=catalog_dtype,
         images_dir=str(images_dir) if images_dir.is_dir() else None,
         cp_split=cp_split,
         cir_split=cir_split,

@@ -58,6 +58,13 @@ class ServingEngine:
     pools: Optional[CandidatePools] = None
     mock: bool = False
     quantized: bool = False  # int8 catalog for whole-catalog retrieval
+    # Device-resident catalog storage dtype. "bfloat16" halves catalog HBM
+    # (1M items x 1536: 6.1 -> 3.1 GB) and the one-time host->device
+    # staging bytes, doubling the max serving catalog on a 16 GB chip.
+    # Forward compute is bf16 regardless (core/dtypes.py), so the only
+    # numeric change is rounding at storage instead of after the gather —
+    # the same ~1e-3 score shift as a bf16 executable rebuild (tested).
+    catalog_dtype: str = "float32"
     # Above this catalog size, whole-catalog retrieval streams the pool in
     # chunks (lax.scan running top-k) instead of materialising (Q, N).
     chunk_threshold: int = 262_144
@@ -86,13 +93,22 @@ class ServingEngine:
 
     def __post_init__(self):
         self.model = OutfitXModel(self.model_cfg)
-        self.catalog_dev = jnp.asarray(self.catalog.embeddings)
+        # dtype conversion happens HOST-side inside asarray, so a bf16
+        # catalog also ships half the bytes through the relay (and halves
+        # the relay client's 1:1 H2D staging leak for the big transfer).
+        self.catalog_dev = jnp.asarray(
+            self.catalog.embeddings, dtype=jnp.dtype(self.catalog_dtype)
+        )
         self._qcat = None
         if self.quantized:
             from outfitx_tpu.ops.quantization import quantize_catalog
 
-            # quantize only real rows; PAD row stays out of retrieval anyway
-            self._qcat = quantize_catalog(self.catalog_dev[: self.catalog.n_items])
+            # quantize only real rows; PAD row stays out of retrieval anyway.
+            # n_rows (not a [:n] slice) so no catalog-sized copy is made —
+            # quantization peaks at one 131k-row block of f32 temporaries.
+            self._qcat = quantize_catalog(
+                self.catalog_dev, n_rows=self.catalog.n_items
+            )
         self._rng = np.random.default_rng(0)
         if not self.mock:
             self._build_task_programs()

@@ -27,6 +27,12 @@ def main() -> None:
     ap.add_argument("--items", type=int, default=250_000)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--no-quantized", action="store_true")
+    ap.add_argument(
+        "--catalog-dtype", default="float32",
+        choices=["float32", "bfloat16"],
+        help="device catalog storage dtype; bfloat16 halves catalog HBM "
+        "(a 1M-item f32 catalog OOMs the 16 GB chip during warmup)",
+    )
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
 
@@ -72,6 +78,7 @@ def main() -> None:
         cp_params=params,
         cir_params=params,
         quantized=not args.no_quantized,
+        catalog_dtype=args.catalog_dtype,
     )
     startup_s = time.perf_counter() - t0  # includes quantize + warmup jits
 

@@ -77,6 +77,27 @@ def test_quantized_chunked_matches_dense_quantized(rng):
     assert int(np.asarray(i_chk).max()) < n
 
 
+def test_blocked_quantize_bit_identical(rng):
+    """Blocked quantization (bounded-HBM path for serving-scale catalogs)
+    is bit-identical to one-shot, including a ragged tail block (overlap
+    rows dropped) and the n_rows trailing-PAD exclusion."""
+    n, d = 777, 32
+    x = jnp.asarray(rng.standard_normal((n + 1, d)).astype(np.float32))
+    ref = quantize_catalog(x, n_rows=n)  # one-shot (n <= default block)
+    for block in (256, 300, 777):  # ragged tail / overlap / exact fit
+        qc = quantize_catalog(x, n_rows=n, block_rows=block)
+        assert qc.values.shape == (n, d)
+        np.testing.assert_array_equal(
+            np.asarray(ref.values), np.asarray(qc.values)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.scales), np.asarray(qc.scales)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.sq_norms), np.asarray(qc.sq_norms)
+        )
+
+
 def test_chunked_dense_approx_matches_exact(rng):
     """retrieve_chunked honors approx (exact merge keeps incumbents)."""
     from outfitx_tpu.ops.retrieval import retrieve_chunked

@@ -751,3 +751,53 @@ class TestBucketChunks:
         from outfitx_tpu.serve.engine import _bucket_chunks
 
         assert list(_bucket_chunks([], 4)) == []
+
+
+class TestBf16Catalog:
+    """catalog_dtype='bfloat16' halves catalog HBM + H2D staging; compute
+    is bf16 regardless, so scores must match the f32-catalog engine within
+    bf16 storage rounding and retrieval must return (near-)identical sets."""
+
+    @pytest.fixture(scope="class")
+    def engines(self, model_cfg):
+        import jax
+
+        from outfitx_tpu.models import OutfitXModel
+
+        data = make_synthetic(n_items=300, d_embed=32, n_outfits=64, seed=5)
+        params = OutfitXModel(model_cfg).init(jax.random.PRNGKey(0))
+        mk = lambda dt: ServingEngine(
+            model_cfg=model_cfg,
+            catalog=data.catalog,
+            cp_params=params,
+            cir_params=params,
+            catalog_dtype=dt,
+        )
+        return mk("float32"), mk("bfloat16")
+
+    def test_catalog_dtype_and_bytes(self, engines):
+        import jax.numpy as jnp
+
+        f32, bf16 = engines
+        assert bf16.catalog_dev.dtype == jnp.bfloat16
+        assert bf16.catalog_dev.nbytes * 2 == f32.catalog_dev.nbytes
+
+    def test_cp_scores_close(self, engines):
+        import numpy as np
+
+        f32, bf16 = engines
+        outfits = [f32.sample_outfit(n) for n in (2, 4, 3, 5)]
+        a = np.asarray([f32.cp_score(o) for o in outfits])
+        b = np.asarray([bf16.cp_score(o) for o in outfits])
+        np.testing.assert_allclose(a, b, atol=2e-2)
+
+    def test_retrieval_sets_overlap(self, engines):
+        f32, bf16 = engines
+        outfit = f32.sample_outfit(3)
+        target = f32.sample_outfit(1)[0]
+        a = {it["item_id"] for it in f32.cir_top10(outfit, target)}
+        b = {it["item_id"] for it in bf16.cir_top10(outfit, target)}
+        assert len(a & b) >= 8  # bf16 rounding may reorder near-ties
+        sa = {it["item_id"] for it in f32.similar_items(outfit[0], k=10)}
+        sb = {it["item_id"] for it in bf16.similar_items(outfit[0], k=10)}
+        assert len(sa & sb) >= 8
