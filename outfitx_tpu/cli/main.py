@@ -292,14 +292,21 @@ def pes(output_dir, weights, **kw):
     help="device catalog storage dtype; bfloat16 halves catalog HBM and "
     "H2D staging (compute is bf16 either way; ~1e-3 score shift)",
 )
+@click.option(
+    "--shard-catalog", is_flag=True,
+    help="row-shard the catalog over ALL local devices and retrieve via "
+    "per-shard top-k + merge (ops/retrieval_sharded.py); aggregate HBM "
+    "scales with the device count",
+)
 def demo(port, synthetic, mock, quantized, exact_topk, coalesce_ms,
-         catalog_dtype):
+         catalog_dtype, shard_catalog):
     """Serving demo (reference src/demo/app.py, port 6006)."""
     from outfitx_tpu.serve.app import build_engine, serve
 
     engine = build_engine(
         synthetic=synthetic, mock=mock, quantized=quantized,
         exact_topk=exact_topk, catalog_dtype=catalog_dtype,
+        shard_catalog=shard_catalog,
     )
     serve(port=port, engine=engine, mock=mock, coalesce_ms=coalesce_ms)
 

@@ -252,6 +252,7 @@ def build_engine(
     quantized: bool = False,
     exact_topk: bool = False,
     catalog_dtype: str = "float32",
+    shard_catalog: bool = False,
 ):
     """Engine wiring (reference app.py loads CP + CIR checkpoints and the
     embedding catalog at module import, :51-116)."""
@@ -336,8 +337,16 @@ def build_engine(
                     cir_params = payload["params"]
     import pathlib
 
+    mesh = None
+    if shard_catalog:
+        # row-shard the catalog over every local device (1-D data mesh);
+        # aggregate HBM scales with the device count
+        from outfitx_tpu.core.mesh import make_mesh
+
+        mesh = make_mesh()
     images_dir = pathlib.Path(dataset_dir) / "images"
     return ServingEngine(
+        mesh=mesh,
         model_cfg=model_cfg,
         catalog=catalog,
         cp_params=cp_params,

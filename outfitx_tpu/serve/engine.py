@@ -58,6 +58,13 @@ class ServingEngine:
     pools: Optional[CandidatePools] = None
     mock: bool = False
     quantized: bool = False  # int8 catalog for whole-catalog retrieval
+    # Serve from a device mesh: the catalog (f32/bf16/int8) is row-sharded
+    # over the mesh's data axis and whole-catalog retrieval runs per-shard
+    # top-k + one O(devices x Q x k) all_gather + exact merge
+    # (ops/retrieval_sharded.py) — aggregate HBM scales with the mesh, so
+    # 8 chips hold an ~80M-item int8 catalog the reference's single-GPU
+    # demo could never load. None = single-device (default).
+    mesh: Optional[jax.sharding.Mesh] = None
     # Device-resident catalog storage dtype. "bfloat16" halves catalog HBM
     # (1M items x 1536: 6.1 -> 3.1 GB) and the one-time host->device
     # staging bytes, doubling the max serving catalog on a 16 GB chip.
@@ -96,9 +103,30 @@ class ServingEngine:
         # dtype conversion happens HOST-side inside asarray, so a bf16
         # catalog also ships half the bytes through the relay (and halves
         # the relay client's 1:1 H2D staging leak for the big transfer).
-        self.catalog_dev = jnp.asarray(
-            self.catalog.embeddings, dtype=jnp.dtype(self.catalog_dtype)
-        )
+        emb = self.catalog.embeddings
+        if self.mesh is not None:
+            from outfitx_tpu.core.mesh import DATA_AXIS
+            from outfitx_tpu.ops.retrieval_sharded import (
+                catalog_row_sharding,
+                pad_rows_to_shards,
+            )
+
+            # pad rows (host-side) so every shard is equal; the extra
+            # all-zero rows sit beyond the PAD row and, like it, are
+            # masked out of retrieval by n_rows.
+            n_pad = pad_rows_to_shards(
+                emb.shape[0], self.mesh.shape[DATA_AXIS]
+            )
+            if n_pad != emb.shape[0]:
+                emb = np.pad(emb, ((0, n_pad - emb.shape[0]), (0, 0)))
+            self.catalog_dev = jax.device_put(
+                emb.astype(jnp.dtype(self.catalog_dtype)),
+                catalog_row_sharding(self.mesh),
+            )
+        else:
+            self.catalog_dev = jnp.asarray(
+                emb, dtype=jnp.dtype(self.catalog_dtype)
+            )
         self._qcat = None
         if self.quantized:
             from outfitx_tpu.ops.quantization import quantize_catalog
@@ -106,9 +134,28 @@ class ServingEngine:
             # quantize only real rows; PAD row stays out of retrieval anyway.
             # n_rows (not a [:n] slice) so no catalog-sized copy is made —
             # quantization peaks at one 131k-row block of f32 temporaries.
-            self._qcat = quantize_catalog(
-                self.catalog_dev, n_rows=self.catalog.n_items
-            )
+            # Mesh case: quantize ALL rows (pads quantize to zeros) so the
+            # int8 fields keep the shard-divisible row count, then place
+            # them row-sharded next to (or instead of) the dense catalog.
+            if self.mesh is not None:
+                import dataclasses as _dc
+
+                from outfitx_tpu.ops.retrieval_sharded import (
+                    catalog_row_sharding,
+                )
+
+                qc = quantize_catalog(self.catalog_dev)
+                sh = catalog_row_sharding(self.mesh)
+                self._qcat = _dc.replace(
+                    qc,
+                    values=jax.device_put(qc.values, sh),
+                    scales=jax.device_put(qc.scales, sh),
+                    sq_norms=jax.device_put(qc.sq_norms, sh),
+                )
+            else:
+                self._qcat = quantize_catalog(
+                    self.catalog_dev, n_rows=self.catalog.n_items
+                )
         self._rng = np.random.default_rng(0)
         if not self.mock:
             self._build_task_programs()
@@ -185,8 +232,21 @@ class ServingEngine:
 
         def catalog_topk(y, cat, qcat, k):
             """Whole-catalog route matrix: {dense, int8} x {materialized,
-            chunked} x {exact, approx}. Static per engine config, baked in
-            at trace time."""
+            chunked, mesh-sharded} x {exact, approx}. Static per engine
+            config, baked in at trace time."""
+            if self.mesh is not None:
+                from outfitx_tpu.ops.retrieval_sharded import (
+                    retrieve_quantized_sharded,
+                    retrieve_sharded,
+                )
+
+                if quantized:
+                    return retrieve_quantized_sharded(
+                        y, qcat, k, mesh=self.mesh, n_rows=n, approx=approx
+                    )
+                return retrieve_sharded(
+                    y, cat, k, mesh=self.mesh, n_rows=n, approx=approx
+                )
             if quantized and chunked:
                 from outfitx_tpu.ops.quantization import (
                     retrieve_quantized_chunked,

@@ -63,4 +63,23 @@ d2, idx = jax.jit(lambda q, p: retrieve(q, p, 10))(
 d2h = np.asarray(d2[:8])
 print("retrieve top-10 d2[0]:", float(d2h[0, 0]), flush=True)
 assert np.isfinite(d2h).all() and bool((np.diff(np.asarray(d2[:8])) >= 0).all())
+
+# mesh-sharded retrieval (serving --shard-catalog path): compile + run the
+# shard_map program over all local devices (1 on the TPU relay) and check
+# it reproduces the single-device result exactly
+from outfitx_tpu.core.mesh import make_mesh
+from outfitx_tpu.ops.retrieval_sharded import (
+    pad_rows_to_shards,
+    retrieve_sharded,
+)
+
+mesh = make_mesh()
+n_pad = pad_rows_to_shards(pool.shape[0], mesh.devices.size)
+pool_p = jnp.pad(pool, ((0, n_pad - pool.shape[0]), (0, 0)))
+d2s, idxs = retrieve_sharded(
+    y_hat.astype(jnp.float32), pool_p, 10, mesh=mesh, n_rows=pool.shape[0]
+)
+np.testing.assert_array_equal(np.asarray(idx[:8]), np.asarray(idxs[:8]))
+print("retrieve_sharded == retrieve over", mesh.devices.size, "device(s)",
+      flush=True)
 print("DRIVE OK", flush=True)

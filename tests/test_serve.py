@@ -753,6 +753,80 @@ class TestBucketChunks:
         assert list(_bucket_chunks([], 4)) == []
 
 
+class TestMeshShardedEngine:
+    """ServingEngine(mesh=...) row-shards the catalog over the data axis
+    and serves whole-catalog retrieval via per-shard top-k + merge
+    (ops/retrieval_sharded.py). Results must match the single-device
+    engine exactly (same dtype, exact merge)."""
+
+    @pytest.fixture(scope="class")
+    def engines(self, model_cfg):
+        import jax
+
+        from outfitx_tpu.core.mesh import MeshSpec, make_mesh
+        from outfitx_tpu.models import OutfitXModel
+
+        data = make_synthetic(n_items=300, d_embed=32, n_outfits=64, seed=7)
+        params = OutfitXModel(model_cfg).init(jax.random.PRNGKey(0))
+        mesh = make_mesh(MeshSpec(data=8, model=1))
+        mk = lambda **kw: ServingEngine(
+            model_cfg=model_cfg,
+            catalog=data.catalog,
+            cp_params=params,
+            cir_params=params,
+            **kw,
+        )
+        return mk(), mk(mesh=mesh), mk(mesh=mesh, quantized=True)
+
+    def test_catalog_is_row_sharded_and_padded(self, engines):
+        _, sharded, quant = engines
+        # 301 rows (300 + PAD) pad to 304 = 8 x 38
+        assert sharded.catalog_dev.shape[0] == 304
+        assert len(sharded.catalog_dev.sharding.device_set) == 8
+        assert quant._qcat.values.shape[0] == 304
+        assert len(quant._qcat.values.sharding.device_set) == 8
+
+    def test_cp_scores_match(self, engines):
+        import numpy as np
+
+        plain, sharded, _ = engines
+        outfits = [plain.sample_outfit(n) for n in (2, 4, 3)]
+        a = np.asarray([plain.cp_score(o) for o in outfits])
+        b = np.asarray([sharded.cp_score(o) for o in outfits])
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_whole_catalog_retrieval_matches(self, engines):
+        plain, sharded, quant = engines
+        outfit = plain.sample_outfit(3)
+        target = plain.sample_outfit(1)[0]
+        a = [it["item_id"] for it in plain.cir_top10(outfit, target)]
+        b = [it["item_id"] for it in sharded.cir_top10(outfit, target)]
+        assert a == b
+        sa = [it["item_id"] for it in plain.similar_items(outfit[0], k=10)]
+        sb = [it["item_id"] for it in sharded.similar_items(outfit[0], k=10)]
+        assert a == b and sa == sb
+        # int8 + sharded compose; quantization noise may reorder near-ties
+        sq = {it["item_id"] for it in quant.similar_items(outfit[0], k=10)}
+        assert len(set(sa) & sq) >= 8
+
+    def test_batched_surfaces_match(self, engines):
+        import numpy as np
+
+        plain, sharded, _ = engines
+        outfits = [plain.sample_outfit(n) for n in (2, 3, 4, 2, 5)]
+        np.testing.assert_allclose(
+            np.asarray(plain.cp_score_batch(outfits)),
+            np.asarray(sharded.cp_score_batch(outfits)),
+            atol=1e-5,
+        )
+        target = plain.sample_outfit(1)[0]
+        a = plain.cir_top10_batch([(o, target) for o in outfits[:2]])
+        b = sharded.cir_top10_batch([(o, target) for o in outfits[:2]])
+        assert [[i["item_id"] for i in r] for r in a] == [
+            [i["item_id"] for i in r] for r in b
+        ]
+
+
 class TestBf16Catalog:
     """catalog_dtype='bfloat16' halves catalog HBM + H2D staging; compute
     is bf16 regardless, so scores must match the f32-catalog engine within

@@ -51,6 +51,16 @@ def test_build_engine_synthetic_has_pools():
     assert eng.pools is not None and len(eng.pools.pools) > 0
 
 
+def test_build_engine_shard_catalog_wiring():
+    from outfitx_tpu.serve.app import build_engine
+
+    eng = build_engine(synthetic=True, mock=True, shard_catalog=True)
+    # 8 fake devices: 2001 catalog rows pad to 2008 = 8 x 251
+    assert eng.mesh is not None and eng.mesh.devices.size == 8
+    assert eng.catalog_dev.shape[0] == 2008
+    assert len(eng.catalog_dev.sharding.device_set) == 8
+
+
 def test_similar_items_excludes_self():
     import jax
 
