@@ -278,6 +278,11 @@ def pes(output_dir, weights, **kw):
 @click.option("--mock", is_flag=True, help="UI smoke test with fake predictions")
 @click.option("--quantized", is_flag=True, help="int8 catalog for whole-catalog retrieval")
 @click.option(
+    "--quantize-model", is_flag=True,
+    help="int8 W8A8 transformer forward on the MXU's 2x-rate int8 path "
+    "(models/quantized.py; scores shift by the quantization error)",
+)
+@click.option(
     "--exact-topk", is_flag=True,
     help="exact lax.top_k retrieval (default: TPU-native approx, ~0.995 recall, 2.3x faster)",
 )
@@ -298,13 +303,14 @@ def pes(output_dir, weights, **kw):
     "per-shard top-k + merge (ops/retrieval_sharded.py); aggregate HBM "
     "scales with the device count",
 )
-def demo(port, synthetic, mock, quantized, exact_topk, coalesce_ms,
-         catalog_dtype, shard_catalog):
+def demo(port, synthetic, mock, quantized, quantize_model, exact_topk,
+         coalesce_ms, catalog_dtype, shard_catalog):
     """Serving demo (reference src/demo/app.py, port 6006)."""
     from outfitx_tpu.serve.app import build_engine, serve
 
     engine = build_engine(
         synthetic=synthetic, mock=mock, quantized=quantized,
+        quantize_model=quantize_model,
         exact_topk=exact_topk, catalog_dtype=catalog_dtype,
         shard_catalog=shard_catalog,
     )

@@ -250,6 +250,7 @@ def build_engine(
     dataset_dir: str = "datasets/polyvore",
     checkpoint_dir: str = "checkpoints",
     quantized: bool = False,
+    quantize_model: bool = False,
     exact_topk: bool = False,
     catalog_dtype: str = "float32",
     shard_catalog: bool = False,
@@ -355,6 +356,8 @@ def build_engine(
         pools=None if quantized else pools,
         mock=mock,
         quantized=quantized,
+        # int8 W8A8 transformer forward (models/quantized.py)
+        quantize_model=quantize_model,
         # serving defaults to the TPU-native approximate top-k (recall
         # ~0.995 at 2.3x lower latency); --exact-topk restores lax.top_k
         approx_topk=not exact_topk,

@@ -58,6 +58,11 @@ class ServingEngine:
     pools: Optional[CandidatePools] = None
     mock: bool = False
     quantized: bool = False  # int8 catalog for whole-catalog retrieval
+    # int8 (W8A8) transformer forward: per-channel int8 weights + dynamic
+    # per-token int8 activations on the MXU's 2x-rate int8 path
+    # (models/quantized.py). Opt-in; scores shift by the quantization
+    # error (measured in BENCHMARKS.md), metric-eval paths are untouched.
+    quantize_model: bool = False
     # Serve from a device mesh: the catalog (f32/bf16/int8) is row-sharded
     # over the mesh's data axis and whole-catalog retrieval runs per-shard
     # top-k + one O(devices x Q x k) all_gather + exact merge
@@ -100,6 +105,30 @@ class ServingEngine:
 
     def __post_init__(self):
         self.model = OutfitXModel(self.model_cfg)
+        if self.quantize_model and not self.mock:
+            from outfitx_tpu.models.quantized import (
+                QuantizedOutfitX,
+                quantize_outfitx_params,
+            )
+
+            # Quantize ONCE at construction; the int8 pytrees replace the
+            # f32 params as the jitted programs' arguments (never baked in
+            # as constants). cp/cir often share one pytree (demo app) —
+            # quantize it once.
+            shared = self.cir_params is self.cp_params
+            if self.cp_params is not None:
+                self.cp_params = quantize_outfitx_params(
+                    self.cp_params, self.model_cfg
+                )
+            if self.cir_params is not None:
+                self.cir_params = (
+                    self.cp_params
+                    if shared
+                    else quantize_outfitx_params(
+                        self.cir_params, self.model_cfg
+                    )
+                )
+            self.model = QuantizedOutfitX(self.model_cfg)
         # dtype conversion happens HOST-side inside asarray, so a bf16
         # catalog also ships half the bytes through the relay (and halves
         # the relay client's 1:1 H2D staging leak for the big transfer).

@@ -82,4 +82,19 @@ d2s, idxs = retrieve_sharded(
 np.testing.assert_array_equal(np.asarray(idx[:8]), np.asarray(idxs[:8]))
 print("retrieve_sharded == retrieve over", mesh.devices.size, "device(s)",
       flush=True)
+
+# int8 W8A8 serving forward (models/quantized.py): compiled int8 matmuls
+# track the bf16 scores on identical inputs
+from outfitx_tpu.models.quantized import (
+    QuantizedOutfitX,
+    quantize_outfitx_params,
+)
+
+q8 = QuantizedOutfitX(cfg)
+qp = quantize_outfitx_params(params, cfg)
+s_q8 = jax.jit(q8.cp_forward)(qp, emb, mask)
+s_bf, s_q8h = np.asarray(scores[:64]), np.asarray(s_q8[:64])
+corr = float(np.corrcoef(s_bf, s_q8h)[0, 1])
+print("q8 cp_forward corr vs bf16:", corr, flush=True)
+assert corr > 0.99, corr
 print("DRIVE OK", flush=True)

@@ -809,6 +809,35 @@ class TestMeshShardedEngine:
         sq = {it["item_id"] for it in quant.similar_items(outfit[0], k=10)}
         assert len(set(sa) & sq) >= 8
 
+    def test_quantized_model_on_mesh(self, model_cfg):
+        """quantize_model (int8 W8A8 forward) composes with the
+        mesh-sharded catalog: q8 params are replicated, scores track the
+        single-device f32 engine."""
+        import jax
+
+        from outfitx_tpu.core.mesh import MeshSpec, make_mesh
+        from outfitx_tpu.models import OutfitXModel
+
+        data = make_synthetic(n_items=300, d_embed=32, n_outfits=64, seed=7)
+        params = OutfitXModel(model_cfg).init(jax.random.PRNGKey(0))
+        mesh = make_mesh(MeshSpec(data=8, model=1))
+        mk = lambda **kw: ServingEngine(
+            model_cfg=model_cfg,
+            catalog=data.catalog,
+            cp_params=params,
+            cir_params=params,
+            warmup=False,
+            **kw,
+        )
+        plain = mk()
+        q8_mesh = mk(mesh=mesh, quantize_model=True)
+        outfit = plain.sample_outfit(4)
+        assert abs(plain.cp_score(outfit) - q8_mesh.cp_score(outfit)) < 0.05
+        target = plain.sample_outfit(1)[0]
+        a = {it["item_id"] for it in plain.cir_top10(outfit, target)}
+        b = {it["item_id"] for it in q8_mesh.cir_top10(outfit, target)}
+        assert len(a & b) >= 7
+
     def test_batched_surfaces_match(self, engines):
         import numpy as np
 
