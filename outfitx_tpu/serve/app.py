@@ -17,6 +17,8 @@ FITB pick) exposed both as a minimal HTML UI and a JSON API:
     POST /api/cp_batch     {"outfits": [[ids], ...]}       -> {"scores"}
     POST /api/cir          {"outfit": [ids], "target": id} -> {"items": [...]}
     POST /api/fitb         {"outfit": [ids], "candidates": [ids]} -> {"pick"}
+    POST /api/update_items {"item_ids": [ids], "embeddings": [[...]]}
+                           -> {"updated": n}  (live in-place catalog update)
 """
 
 from __future__ import annotations
@@ -225,6 +227,17 @@ def make_handler(engine, cp_scorer=None, cir_retriever=None, sim_retriever=None)
                                 req["outfit"], req["candidates"]
                             )
                         },
+                    )
+                if self.path == "/api/update_items":
+                    # live catalog update: {"item_ids": [...],
+                    # "embeddings": [[...], ...], "descriptions": [...]?}
+                    engine.update_items(
+                        req["item_ids"],
+                        req["embeddings"],
+                        descriptions=req.get("descriptions"),
+                    )
+                    return self._send(
+                        200, {"updated": len(req["item_ids"])}
                     )
                 return self._send(404, {"error": "not found"})
             except KeyError as e:

@@ -12,6 +12,7 @@ device-resident, and serves:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional
 
 import jax
@@ -47,6 +48,30 @@ def _bucket_chunks(idxs, bucket: int):
 
 class UnknownItemError(KeyError):
     """Raised for item ids absent from the catalog."""
+
+
+# Donated row scatters for live catalog updates: the input catalog buffer
+# is reused for the output, so a 2M x 1536 catalog is updated without a
+# second catalog-sized HBM allocation. Module-level jits — one compile per
+# (catalog shape/dtype, bucket) for the engine's lifetime.
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows(cat, rows, vals):
+    return cat.at[rows].set(vals.astype(cat.dtype))
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _scatter_quant_rows(values, scales, sq_norms, rows, vals):
+    """Requantize the replacement rows and scatter all three int8-catalog
+    fields. Per-row symmetric quantization is row-independent, so the
+    touched rows end up bit-identical to a full requantization."""
+    from outfitx_tpu.ops.quantization import _quantize_block
+
+    v, s, m = _quantize_block(vals)
+    return (
+        values.at[rows].set(v),
+        scales.at[rows].set(s),
+        sq_norms.at[rows].set(m),
+    )
 
 
 @dataclasses.dataclass
@@ -330,6 +355,92 @@ class ServingEngine:
         if row is None:
             raise UnknownItemError(f"unknown item_id {item_id}")
         return row
+
+    # ---------------------------------------------- live catalog updates --
+    # The reference demo loads its catalog once at import and can never
+    # change it (app.py:51-75); a production catalog gets corrected /
+    # re-embedded items. Every task program takes the catalog as an
+    # ARGUMENT (never a baked constant), so swapping `catalog_dev` /
+    # `_qcat` between requests needs NO recompilation.
+    update_bucket: int = 1024
+
+    def update_items(
+        self,
+        item_ids: List[int],
+        embeddings,
+        descriptions: Optional[List[str]] = None,
+    ) -> None:
+        """In-place embedding refresh for EXISTING catalog items.
+
+        Updates the host catalog, the device catalog (dense or bf16), and
+        — when the engine serves the int8 route — requantizes exactly the
+        touched rows (per-row symmetric int8 is row-independent, so the
+        result is bit-identical to requantizing the whole catalog).
+        Update batches are padded to ``update_bucket`` rows by repeating
+        the first row (an idempotent re-set), so any update size runs on
+        one pre-compiled scatter program per catalog representation; the
+        catalog buffers are DONATED — no second catalog-sized HBM
+        allocation. Not thread-safe against in-flight requests holding the
+        old arrays (they complete against the pre-update catalog).
+        """
+        if not item_ids:
+            return
+        rows = np.asarray([self.lookup_row(i) for i in item_ids], np.int32)
+        vals = np.asarray(embeddings, dtype=np.float32)
+        if vals.shape != (len(rows), self.catalog.d_embed):
+            raise ValueError(
+                f"embeddings shape {vals.shape} != "
+                f"({len(rows)}, {self.catalog.d_embed})"
+            )
+        self.catalog.embeddings[rows] = vals  # host copy stays consistent
+        if descriptions is not None and self.catalog.descriptions:
+            for r, text in zip(rows, descriptions):
+                self.catalog.descriptions[int(r)] = text
+        if self.mock:
+            return
+        b = self.update_bucket
+        for s in range(0, len(rows), b):
+            chunk_rows = rows[s : s + b]
+            chunk_vals = vals[s : s + b]
+            if len(chunk_rows) < b:  # pad by repeating row 0 (idempotent)
+                pad = b - len(chunk_rows)
+                chunk_rows = np.concatenate(
+                    [chunk_rows, np.repeat(chunk_rows[:1], pad)]
+                )
+                chunk_vals = np.concatenate(
+                    [chunk_vals, np.repeat(chunk_vals[:1], pad, axis=0)]
+                )
+            # mesh case: place the update operands replicated so the
+            # scatter onto the row-sharded catalog has unambiguous
+            # shardings (computation follows the sharded operand)
+            rep = None
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as PS
+
+                rep = NamedSharding(self.mesh, PS())
+            rows_dev = jax.device_put(chunk_rows, rep)
+            # cast host-side: a bf16 catalog ships half the bytes (and
+            # halves the relay client's per-byte H2D staging leak)
+            vals_dev = jax.device_put(
+                chunk_vals.astype(self.catalog_dev.dtype), rep
+            )
+            self.catalog_dev = _scatter_rows(
+                self.catalog_dev, rows_dev, vals_dev
+            )
+            if self._qcat is not None:
+                vals_f32 = jax.device_put(chunk_vals, rep)
+                values, scales, sq_norms = _scatter_quant_rows(
+                    self._qcat.values,
+                    self._qcat.scales,
+                    self._qcat.sq_norms,
+                    rows_dev,
+                    vals_f32,
+                )
+                self._qcat = dataclasses.replace(
+                    self._qcat,
+                    values=values, scales=scales, sq_norms=sq_norms,
+                )
 
     # ------------------------------------------------------------ tasks --
     def _pad(self, item_ids: List[int]):

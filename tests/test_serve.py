@@ -332,6 +332,22 @@ class TestHTTP:
         )
         assert 0 <= fitb["pick"] < 4
 
+    def test_update_items_roundtrip(self, server, engine):
+        import numpy as np
+
+        ids = engine.sample_outfit(2)
+        src, dst = ids[0], ids[1]
+        new_emb = np.asarray(
+            engine.catalog.embeddings[engine.lookup_row(src)]
+        ).tolist()
+        out = self._post(
+            server + "/api/update_items",
+            {"item_ids": [dst], "embeddings": [new_emb]},
+        )
+        assert out["updated"] == 1
+        sims = engine.similar_items(src, k=3)
+        assert sims[0]["item_id"] == dst
+
     def test_bad_request_gets_400(self, server):
         req = urllib.request.Request(
             server + "/api/cp", data=b"{}", method="POST"
@@ -751,6 +767,141 @@ class TestBucketChunks:
         from outfitx_tpu.serve.engine import _bucket_chunks
 
         assert list(_bucket_chunks([], 4)) == []
+
+
+class TestLiveCatalogUpdates:
+    """update_items: in-place embedding refresh without restart or
+    recompilation (task programs take the catalog as an argument)."""
+
+    def _engine(self, model_cfg, **kw):
+        import jax
+
+        from outfitx_tpu.models import OutfitXModel
+
+        data = make_synthetic(n_items=300, d_embed=32, n_outfits=64, seed=21)
+        params = OutfitXModel(model_cfg).init(jax.random.PRNGKey(0))
+        return ServingEngine(
+            model_cfg=model_cfg,
+            catalog=data.catalog,
+            cp_params=params,
+            cir_params=params,
+            warmup=False,
+            **kw,
+        )
+
+    def test_update_moves_neighbours_and_scores(self, model_cfg):
+        import numpy as np
+
+        eng = self._engine(model_cfg)
+        ids = eng.sample_outfit(3)
+        target, clone_src = ids[0], ids[1]
+        before = eng.cp_score(ids)
+        # make `target` an exact copy of `clone_src`
+        src_row = eng.lookup_row(clone_src)
+        new_emb = np.array(eng.catalog.embeddings[src_row])
+        eng.update_items([target], new_emb[None])
+        # device + host rows updated
+        np.testing.assert_array_equal(
+            eng.catalog.embeddings[eng.lookup_row(target)], new_emb
+        )
+        np.testing.assert_allclose(
+            np.asarray(eng.catalog_dev[eng.lookup_row(target)]),
+            new_emb, rtol=1e-6,
+        )
+        # the clone is now its source's nearest neighbour (d2 = 0)
+        sims = eng.similar_items(clone_src, k=3)
+        assert sims[0]["item_id"] == target
+        assert sims[0]["score"] < 1e-6
+        # CP scores see the new embedding (same compiled program)
+        after = eng.cp_score(ids)
+        assert before != after
+
+    def test_update_unknown_id_raises(self, model_cfg):
+        import numpy as np
+
+        eng = self._engine(model_cfg)
+        from outfitx_tpu.serve.engine import UnknownItemError
+
+        with pytest.raises(UnknownItemError):
+            eng.update_items([10**9], np.zeros((1, 32), np.float32))
+        with pytest.raises(ValueError):
+            eng.update_items([eng.sample_outfit(1)[0]],
+                             np.zeros((1, 7), np.float32))
+
+    def test_update_chunks_and_padding(self, model_cfg):
+        import numpy as np
+
+        eng = self._engine(model_cfg)
+        eng.update_bucket = 4  # force chunk loop + pad path
+        rng = np.random.default_rng(3)
+        ids = [int(i) for i in eng.catalog.item_ids[:10]]
+        vals = rng.normal(size=(10, 32)).astype(np.float32)
+        eng.update_items(ids, vals)
+        rows = [eng.lookup_row(i) for i in ids]
+        np.testing.assert_allclose(
+            np.asarray(eng.catalog_dev)[rows], vals, rtol=1e-6
+        )
+
+    def test_quantized_rows_match_full_requantize(self, model_cfg):
+        import numpy as np
+
+        from outfitx_tpu.ops.quantization import quantize_catalog
+
+        eng = self._engine(model_cfg, quantized=True, pools=None)
+        rng = np.random.default_rng(5)
+        ids = [int(i) for i in eng.catalog.item_ids[5:9]]
+        vals = rng.normal(size=(4, 32)).astype(np.float32)
+        eng.update_items(ids, vals)
+        rows = [eng.lookup_row(i) for i in ids]
+        # per-row int8 is row-independent: the touched rows must be
+        # bit-identical to requantizing the whole updated catalog
+        full = quantize_catalog(
+            eng.catalog_dev, n_rows=eng.catalog.n_items
+        )
+        np.testing.assert_array_equal(
+            np.asarray(eng._qcat.values)[rows], np.asarray(full.values)[rows]
+        )
+        np.testing.assert_allclose(
+            np.asarray(eng._qcat.scales)[rows],
+            np.asarray(full.scales)[rows], rtol=1e-6,
+        )
+
+    def test_bf16_catalog_update(self, model_cfg):
+        import numpy as np
+
+        eng = self._engine(model_cfg, catalog_dtype="bfloat16")
+        ids = [int(eng.catalog.item_ids[0])]
+        vals = np.full((1, 32), 0.5, np.float32)
+        eng.update_items(ids, vals)
+        assert str(eng.catalog_dev.dtype) == "bfloat16"
+        np.testing.assert_allclose(
+            np.asarray(eng.catalog_dev[0]).astype(np.float32), vals[0]
+        )
+
+    def test_update_on_mesh(self, model_cfg):
+        import numpy as np
+
+        from outfitx_tpu.core.mesh import MeshSpec, make_mesh
+
+        mesh = make_mesh(MeshSpec(data=8, model=1))
+        eng = self._engine(model_cfg, mesh=mesh, quantized=True, pools=None)
+        rng = np.random.default_rng(9)
+        ids = [int(i) for i in eng.catalog.item_ids[40:44]]
+        vals = rng.normal(size=(4, 32)).astype(np.float32)
+        eng.update_items(ids, vals)
+        rows = [eng.lookup_row(i) for i in ids]
+        np.testing.assert_allclose(
+            np.asarray(eng.catalog_dev)[rows], vals, rtol=1e-6
+        )
+        # catalog stays row-sharded after the donated scatter
+        assert len(eng.catalog_dev.sharding.device_set) == 8
+        # retrieval sees the update: clone row 40's embedding onto 41
+        eng.update_items(
+            [int(eng.catalog.item_ids[41])],
+            np.asarray(eng.catalog.embeddings[rows[0]])[None],
+        )
+        sims = eng.similar_items(int(eng.catalog.item_ids[rows[0]]), k=3)
+        assert sims[0]["item_id"] == int(eng.catalog.item_ids[41])
 
 
 class TestMeshShardedEngine:
