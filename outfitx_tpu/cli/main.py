@@ -298,13 +298,18 @@ def pes(output_dir, weights, **kw):
     "H2D staging (compute is bf16 either way; ~1e-3 score shift)",
 )
 @click.option(
+    "--spare-capacity", type=int, default=0,
+    help="reserve this many spare catalog rows so POST /api/add_items can "
+    "append new items at runtime without recompiling any program",
+)
+@click.option(
     "--shard-catalog", is_flag=True,
     help="row-shard the catalog over ALL local devices and retrieve via "
     "per-shard top-k + merge (ops/retrieval_sharded.py); aggregate HBM "
     "scales with the device count",
 )
 def demo(port, synthetic, mock, quantized, quantize_model, exact_topk,
-         coalesce_ms, catalog_dtype, shard_catalog):
+         coalesce_ms, catalog_dtype, spare_capacity, shard_catalog):
     """Serving demo (reference src/demo/app.py, port 6006)."""
     from outfitx_tpu.serve.app import build_engine, serve
 
@@ -312,7 +317,7 @@ def demo(port, synthetic, mock, quantized, quantize_model, exact_topk,
         synthetic=synthetic, mock=mock, quantized=quantized,
         quantize_model=quantize_model,
         exact_topk=exact_topk, catalog_dtype=catalog_dtype,
-        shard_catalog=shard_catalog,
+        shard_catalog=shard_catalog, spare_capacity=spare_capacity,
     )
     serve(port=port, engine=engine, mock=mock, coalesce_ms=coalesce_ms)
 

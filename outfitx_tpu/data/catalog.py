@@ -43,7 +43,16 @@ class Catalog:
 
     @property
     def pad_row(self) -> int:
-        return self.n_items
+        # Always the table's LAST row. Equals n_items for the standard
+        # (N+1) layout; with reserved spare capacity (``reserve``) the
+        # layout is [items][spare sentinel rows][PAD] and pad_row ==
+        # capacity.
+        return self.embeddings.shape[0] - 1
+
+    @property
+    def capacity(self) -> int:
+        """Item rows the table can hold (excludes the PAD row)."""
+        return self.embeddings.shape[0] - 1
 
     @property
     def d_embed(self) -> int:
@@ -51,6 +60,83 @@ class Catalog:
 
     def rows(self, ids) -> np.ndarray:
         return np.asarray([self.id_to_row[i] for i in ids], dtype=np.int32)
+
+    # -------------------------------------------------- live append API --
+    # Serving-side catalog growth: reserve spare rows once (cheap realloc,
+    # BEFORE splits are staged — their pad indices bake in pad_row), then
+    # append items into them without ever changing the table's shape (so
+    # compiled programs that take the table as an argument keep their
+    # traces).
+    SENTINEL = 1.0e4  # per-dim value of unfilled spare rows: their L2
+    # distance to any real query is astronomically large, so retrieval over
+    # [:pad_row] may include them and they never win a top-k slot.
+
+    def reserve(self, extra: int) -> int:
+        """Grow the table in place to [items][``extra`` sentinel rows][PAD].
+
+        Returns the OLD pad row index so callers can remap any
+        already-built split arrays (their padded slots hold the old
+        index, which now points at a sentinel row)."""
+        old_pad = self.pad_row
+        n, d = self.n_items, self.d_embed
+        emb = np.zeros((self.capacity + extra + 1, d), dtype=np.float32)
+        emb[:n] = self.embeddings[:n]
+        emb[n : self.capacity + extra] = self.SENTINEL
+        self.embeddings = emb
+        return old_pad
+
+    def append_items(
+        self,
+        item_ids,
+        embeddings,
+        category_ids=None,
+        semantic_categories: Optional[List[str]] = None,
+        descriptions: Optional[List[str]] = None,
+    ) -> np.ndarray:
+        """Append NEW items into reserved spare rows; returns their row
+        indices. Raises when out of capacity (``reserve`` more first) or
+        on an id that already exists (use an update path for those)."""
+        ids = [int(i) for i in item_ids]
+        k = len(ids)
+        n = self.n_items
+        if n + k > self.capacity:
+            raise ValueError(
+                f"catalog capacity {self.capacity} cannot take {k} more "
+                f"items (have {n}); reserve() more spare rows"
+            )
+        dup = [i for i in ids if i in self.id_to_row]
+        if dup:
+            raise ValueError(f"item ids already in catalog: {dup[:5]}")
+        vals = np.asarray(embeddings, dtype=np.float32)
+        if vals.shape != (k, self.d_embed):
+            raise ValueError(
+                f"embeddings shape {vals.shape} != ({k}, {self.d_embed})"
+            )
+        rows = np.arange(n, n + k, dtype=np.int32)
+        self.embeddings[rows] = vals
+        self.item_ids = np.concatenate(
+            [self.item_ids, np.asarray(ids, dtype=np.int64)]
+        )
+        cid = (
+            np.asarray(category_ids, dtype=np.int32)
+            if category_ids is not None
+            else np.full(k, -1, dtype=np.int32)
+        )
+        self.category_id = np.concatenate([self.category_id, cid])
+        sem = np.zeros(k, dtype=np.int32)
+        for j, name in enumerate(semantic_categories or [""] * k):
+            name = str(name)
+            if name not in self.semantic_vocab:
+                self.semantic_vocab.append(name)
+            sem[j] = self.semantic_vocab.index(name)
+        self.semantic_category = np.concatenate([self.semantic_category, sem])
+        if self.descriptions is not None:
+            self.descriptions.extend(
+                list(descriptions) if descriptions is not None else [""] * k
+            )
+        for r, i in zip(rows, ids):
+            self.id_to_row[i] = int(r)
+        return rows
 
     # ------------------------------------------------------------------ IO --
     @classmethod

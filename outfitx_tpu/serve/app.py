@@ -19,6 +19,9 @@ FITB pick) exposed both as a minimal HTML UI and a JSON API:
     POST /api/fitb         {"outfit": [ids], "candidates": [ids]} -> {"pick"}
     POST /api/update_items {"item_ids": [ids], "embeddings": [[...]]}
                            -> {"updated": n}  (live in-place catalog update)
+    POST /api/add_items    {"item_ids": [ids], "embeddings": [[...]], ...}
+                           -> {"added": n, "n_items", "capacity"}  (live
+                           append into --spare-capacity reserved rows)
 """
 
 from __future__ import annotations
@@ -239,6 +242,25 @@ def make_handler(engine, cp_scorer=None, cir_retriever=None, sim_retriever=None)
                     return self._send(
                         200, {"updated": len(req["item_ids"])}
                     )
+                if self.path == "/api/add_items":
+                    # live catalog append into reserved spare rows:
+                    # {"item_ids", "embeddings", "category_ids"?,
+                    #  "semantic_categories"?, "descriptions"?}
+                    engine.add_items(
+                        req["item_ids"],
+                        req["embeddings"],
+                        category_ids=req.get("category_ids"),
+                        semantic_categories=req.get("semantic_categories"),
+                        descriptions=req.get("descriptions"),
+                    )
+                    return self._send(
+                        200,
+                        {
+                            "added": len(req["item_ids"]),
+                            "n_items": engine.catalog.n_items,
+                            "capacity": engine.catalog.capacity,
+                        },
+                    )
                 return self._send(404, {"error": "not found"})
             except KeyError as e:
                 from outfitx_tpu.serve.engine import UnknownItemError
@@ -267,6 +289,7 @@ def build_engine(
     exact_topk: bool = False,
     catalog_dtype: str = "float32",
     shard_catalog: bool = False,
+    spare_capacity: int = 0,
 ):
     """Engine wiring (reference app.py loads CP + CIR checkpoints and the
     embedding catalog at module import, :51-116)."""
@@ -371,6 +394,8 @@ def build_engine(
         quantized=quantized,
         # int8 W8A8 transformer forward (models/quantized.py)
         quantize_model=quantize_model,
+        # reserved rows for live /api/add_items appends
+        spare_capacity=spare_capacity,
         # serving defaults to the TPU-native approximate top-k (recall
         # ~0.995 at 2.3x lower latency); --exact-topk restores lax.top_k
         approx_topk=not exact_topk,

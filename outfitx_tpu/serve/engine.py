@@ -88,6 +88,12 @@ class ServingEngine:
     # (models/quantized.py). Opt-in; scores shift by the quantization
     # error (measured in BENCHMARKS.md), metric-eval paths are untouched.
     quantize_model: bool = False
+    # Reserve this many spare catalog rows at construction so `add_items`
+    # can append new items at runtime without any array shape change (and
+    # therefore without recompiling any task program). Spare rows hold
+    # huge-norm sentinels that can never win a top-k slot, so retrieval
+    # sweeps the full capacity safely.
+    spare_capacity: int = 0
     # Serve from a device mesh: the catalog (f32/bf16/int8) is row-sharded
     # over the mesh's data axis and whole-catalog retrieval runs per-shard
     # top-k + one O(devices x Q x k) all_gather + exact merge
@@ -130,6 +136,22 @@ class ServingEngine:
 
     def __post_init__(self):
         self.model = OutfitXModel(self.model_cfg)
+        if self.spare_capacity:
+            # Grow the table to [items][sentinel spare rows][PAD] so
+            # add_items can fill rows without changing any array shape
+            # (compiled programs keep their traces). Splits built against
+            # the ungrown catalog hold the OLD pad index in their padded
+            # slots — remap them (old_pad == old n_items is outside the
+            # item-row range, so a value rewrite is exact).
+            old_pad = self.catalog.reserve(self.spare_capacity)
+            new_pad = self.catalog.pad_row
+            for split in (self.cp_split, self.cir_split, self.fitb_split):
+                if split is None:
+                    continue
+                for attr in ("item_rows", "cand_rows"):
+                    arr = getattr(split, attr, None)
+                    if arr is not None:
+                        arr[arr == old_pad] = new_pad
         if self.quantize_model and not self.mock:
             from outfitx_tpu.models.quantized import (
                 QuantizedOutfitX,
@@ -208,7 +230,10 @@ class ServingEngine:
                 )
             else:
                 self._qcat = quantize_catalog(
-                    self.catalog_dev, n_rows=self.catalog.n_items
+                    # quantize through pad_row: spare sentinel rows get
+                    # huge sq_norms (never win) and appends requantize
+                    # their rows in place
+                    self.catalog_dev, n_rows=self.catalog.pad_row
                 )
         self._rng = np.random.default_rng(0)
         if not self.mock:
@@ -270,7 +295,11 @@ class ServingEngine:
         leaves exactly one dispatch and one small D2H per request. Routing
         (quantized / chunked / dense) is static per engine config, so it is
         baked in at trace time."""
-        n = self.catalog.n_items
+        # Retrieval bound: everything below the PAD row. With reserved
+        # spare capacity this INCLUDES the sentinel spare rows (they never
+        # win a top-k slot), so appended items become retrievable without
+        # re-tracing — the bound is static for the engine's lifetime.
+        n = self.catalog.pad_row
         d = self.catalog.d_embed
         approx = self.approx_topk
         quantized = self._qcat is not None
@@ -359,9 +388,11 @@ class ServingEngine:
     # ---------------------------------------------- live catalog updates --
     # The reference demo loads its catalog once at import and can never
     # change it (app.py:51-75); a production catalog gets corrected /
-    # re-embedded items. Every task program takes the catalog as an
-    # ARGUMENT (never a baked constant), so swapping `catalog_dev` /
-    # `_qcat` between requests needs NO recompilation.
+    # re-embedded items AND new ones. Every task program takes the catalog
+    # as an ARGUMENT (never a baked constant), so swapping `catalog_dev` /
+    # `_qcat` between requests needs NO recompilation; appends fill
+    # reserved sentinel rows (`spare_capacity`), so shapes never change
+    # either.
     update_bucket: int = 1024
 
     def update_items(
@@ -398,6 +429,41 @@ class ServingEngine:
                 self.catalog.descriptions[int(r)] = text
         if self.mock:
             return
+        self._scatter_to_device(rows, vals)
+
+    def add_items(
+        self,
+        item_ids: List[int],
+        embeddings,
+        category_ids=None,
+        semantic_categories: Optional[List[str]] = None,
+        descriptions: Optional[List[str]] = None,
+    ) -> None:
+        """Append NEW items at runtime into reserved spare rows
+        (``spare_capacity``); raises when the capacity is exhausted or an
+        id already exists. The appended rows become retrievable by the
+        very next request — whole-catalog CIR / similar-items sweep the
+        full capacity (sentinel rows never win), and the same
+        pre-compiled scatter programs as `update_items` fill the rows
+        (int8 route included, requantized bit-identically). Per-category
+        candidate pools are frozen at construction, so targets in a
+        pool-served category keep their pool; new/unpooled categories
+        route to whole-catalog retrieval."""
+        if not item_ids:
+            return
+        rows = self.catalog.append_items(
+            item_ids, embeddings,
+            category_ids=category_ids,
+            semantic_categories=semantic_categories,
+            descriptions=descriptions,
+        )
+        if self.mock:
+            return
+        self._scatter_to_device(
+            rows, np.asarray(embeddings, dtype=np.float32)
+        )
+
+    def _scatter_to_device(self, rows: np.ndarray, vals: np.ndarray) -> None:
         b = self.update_bucket
         for s in range(0, len(rows), b):
             chunk_rows = rows[s : s + b]

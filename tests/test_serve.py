@@ -348,6 +348,24 @@ class TestHTTP:
         sims = engine.similar_items(src, k=3)
         assert sims[0]["item_id"] == dst
 
+    def test_add_items_without_capacity_gets_500(self, server):
+        # the TestHTTP engine reserves no spare capacity -> ValueError
+        req = urllib.request.Request(
+            server + "/api/add_items",
+            data=json.dumps(
+                {"item_ids": [123456789], "embeddings": [[0.0] * 32]}
+            ).encode(),
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(req)
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = True
+            assert e.code == 500
+            assert "capacity" in json.loads(e.read())["error"]
+        assert raised
+
     def test_bad_request_gets_400(self, server):
         req = urllib.request.Request(
             server + "/api/cp", data=b"{}", method="POST"
@@ -902,6 +920,135 @@ class TestLiveCatalogUpdates:
         )
         sims = eng.similar_items(int(eng.catalog.item_ids[rows[0]]), k=3)
         assert sims[0]["item_id"] == int(eng.catalog.item_ids[41])
+
+
+class TestCatalogAppend:
+    """add_items: append new items into reserved sentinel rows at runtime
+    — no shape change, no re-trace; retrieval sweeps the full capacity."""
+
+    def _engine(self, model_cfg, **kw):
+        import jax
+
+        from outfitx_tpu.models import OutfitXModel
+
+        data = make_synthetic(n_items=200, d_embed=32, n_outfits=64, seed=31)
+        params = OutfitXModel(model_cfg).init(jax.random.PRNGKey(0))
+        return ServingEngine(
+            model_cfg=model_cfg,
+            catalog=data.catalog,
+            cp_params=params,
+            cir_params=params,
+            warmup=False,
+            spare_capacity=16,
+            **kw,
+        )
+
+    def test_sentinels_never_retrieved_then_append_found(self, model_cfg):
+        import numpy as np
+
+        eng = self._engine(model_cfg)
+        assert eng.catalog.capacity == 216 and eng.catalog.n_items == 200
+        # pre-append: retrieval sweeps all 216 rows; every hit must be a
+        # REAL item (a sentinel row index would fail the item_ids lookup)
+        src = int(eng.catalog.item_ids[7])
+        sims = eng.similar_items(src, k=10)
+        assert len(sims) == 10
+        assert all(s["item_id"] in eng.catalog.id_to_row for s in sims)
+        # append a clone of src -> it must become src's nearest neighbour
+        new_id = 999_001
+        emb = np.asarray(eng.catalog.embeddings[eng.lookup_row(src)])
+        eng.add_items(
+            [new_id], emb[None],
+            category_ids=[int(eng.catalog.category_id[eng.lookup_row(src)])],
+            descriptions=["appended clone"],
+        )
+        assert eng.catalog.n_items == 201
+        sims = eng.similar_items(src, k=3)
+        assert sims[0]["item_id"] == new_id
+        assert sims[0]["description"] == "appended clone"
+        # appended items work inside outfits (forward gathers their rows)
+        s = eng.cp_score([src, new_id] + eng.sample_outfit(2))
+        assert 0.0 <= s <= 1.0
+        # and as CIR targets (no pool for the category -> whole catalog)
+        items = eng.cir_top10(eng.sample_outfit(3), new_id)
+        assert len(items) == 10
+
+    def test_capacity_and_duplicate_errors(self, model_cfg):
+        import numpy as np
+
+        eng = self._engine(model_cfg)
+        with pytest.raises(ValueError, match="capacity"):
+            eng.add_items(
+                list(range(1_000_000, 1_000_017)),
+                np.zeros((17, 32), np.float32),
+            )
+        existing = int(eng.catalog.item_ids[0])
+        with pytest.raises(ValueError, match="already"):
+            eng.add_items([existing], np.zeros((1, 32), np.float32))
+
+    def test_quantized_append_matches_full_requantize(self, model_cfg):
+        import numpy as np
+
+        from outfitx_tpu.ops.quantization import quantize_catalog
+
+        eng = self._engine(model_cfg, quantized=True, pools=None)
+        rng = np.random.default_rng(13)
+        vals = rng.normal(size=(3, 32)).astype(np.float32)
+        eng.add_items([777_001, 777_002, 777_003], vals)
+        rows = [eng.lookup_row(i) for i in (777_001, 777_002, 777_003)]
+        full = quantize_catalog(eng.catalog_dev, n_rows=eng.catalog.pad_row)
+        np.testing.assert_array_equal(
+            np.asarray(eng._qcat.values)[rows],
+            np.asarray(full.values)[rows],
+        )
+        # the new rows retrieve through the int8 route
+        sims = eng.similar_items(777_001, k=3)
+        assert all(s["item_id"] in eng.catalog.id_to_row for s in sims)
+
+    def test_split_pad_rows_remapped(self, model_cfg):
+        """Splits built against the UNGROWN catalog must keep working:
+        their padded slots are remapped from the old PAD index (now a
+        sentinel row) to the new one (zeros)."""
+        import jax
+
+        from outfitx_tpu.models import OutfitXModel
+
+        data = make_synthetic(n_items=200, d_embed=32, n_outfits=64, seed=31)
+        params = OutfitXModel(model_cfg).init(jax.random.PRNGKey(0))
+        eng = ServingEngine(
+            model_cfg=model_cfg,
+            catalog=data.catalog,
+            cp_params=params,
+            cir_params=params,
+            warmup=False,
+            spare_capacity=8,
+            cp_split=data.cp_valid,
+            fitb_split=data.fitb_test,
+        )
+        pad = eng.catalog.pad_row
+        assert (eng.cp_split.item_rows <= pad).all()
+        assert not (
+            (eng.cp_split.item_rows >= eng.catalog.n_items)
+            & (eng.cp_split.item_rows < pad)
+        ).any()  # nothing points at a sentinel row
+        rows = eng.sample_cp(n=2)
+        assert len(rows) == 2 and all(0 <= r["prob"] <= 1 for r in rows)
+        picks = eng.sample_fitb(n=2)
+        assert len(picks) == 2
+
+    def test_append_on_mesh(self, model_cfg):
+        import numpy as np
+
+        from outfitx_tpu.core.mesh import MeshSpec, make_mesh
+
+        mesh = make_mesh(MeshSpec(data=8, model=1))
+        eng = self._engine(model_cfg, mesh=mesh)
+        src = int(eng.catalog.item_ids[3])
+        emb = np.asarray(eng.catalog.embeddings[eng.lookup_row(src)])
+        eng.add_items([888_001], emb[None])
+        sims = eng.similar_items(src, k=3)
+        assert sims[0]["item_id"] == 888_001
+        assert len(eng.catalog_dev.sharding.device_set) == 8
 
 
 class TestMeshShardedEngine:
