@@ -135,6 +135,9 @@ class ServingEngine:
     cp_batch_bucket: int = 8
 
     def __post_init__(self):
+        import threading
+
+        self._update_lock = threading.Lock()
         self.model = OutfitXModel(self.model_cfg)
         if self.spare_capacity:
             # Grow the table to [items][sentinel spare rows][PAD] so
@@ -253,13 +256,13 @@ class ServingEngine:
         if self.cir_params is not None:
             rows, mask = self._pad(ids[:1])
             trow = np.asarray([self.lookup_row(ids[1])], dtype=np.int32)
-            self._cir_task(  # whole-catalog route
-                self.cir_params, self.catalog_dev, self._qcat, rows, mask, trow
+            self._run(  # whole-catalog route
+                self._cir_task, self.cir_params, rows, mask, trow
             )
             if self.pools is not None and self.pools.pools:
                 pool_rows = next(iter(self.pools.pools.values()))
-                self._cir_pool_task(
-                    self.cir_params, self.catalog_dev, rows, mask, trow,
+                self._run(
+                    self._cir_pool_task, self.cir_params, rows, mask, trow,
                     np.asarray(pool_rows, dtype=np.int32)[None],
                 )
             self.fitb_pick(ids[:3], ids[:4])
@@ -268,8 +271,8 @@ class ServingEngine:
             rows_b = np.broadcast_to(rows, (b, rows.shape[1])).copy()
             mask_b = np.broadcast_to(mask, (b, mask.shape[1])).copy()
             trows_b = np.broadcast_to(trow, (b,)).copy()
-            self._cir_task(
-                self.cir_params, self.catalog_dev, self._qcat,
+            self._run(
+                self._cir_task, self.cir_params,
                 rows_b, mask_b, trows_b,
             )
             if self.pools is not None and self.pools.pools:
@@ -278,8 +281,8 @@ class ServingEngine:
                     np.asarray(pool_rows, dtype=np.int32)[None],
                     (b, len(pool_rows)),
                 ).copy()
-                self._cir_pool_task(
-                    self.cir_params, self.catalog_dev,
+                self._run(
+                    self._cir_pool_task, self.cir_params,
                     rows_b, mask_b, trows_b, prows_b,
                 )
         self.similar_items(ids[0])
@@ -349,22 +352,30 @@ class ServingEngine:
                 )
             return retrieve(y, cat[:n], k=k, approx=approx)
 
-        def cp_task(p, cat, rows, mask):
+        # Every program takes (cat, qcat) as its LEADING arguments and is
+        # dispatched exclusively through `_run`, which reads the CURRENT
+        # `self.catalog_dev` / `self._qcat` refs — the single point that
+        # makes live catalog updates (whose donated scatters invalidate the
+        # old buffers) safe against concurrent request threads.
+        def cp_task(cat, qcat, p, rows, mask):
+            del qcat
             emb = jnp.take(cat, rows, axis=0)
             return jax.nn.sigmoid(model.cp_forward(p, emb, mask))
 
-        def cir_task(p, cat, qcat, rows, mask, target_rows):
+        def cir_task(cat, qcat, p, rows, mask, target_rows):
             y = cir_query(p, cat, rows, mask, target_rows)
             return catalog_topk(y, cat, qcat, 10)
 
-        def cir_pool_task(p, cat, rows, mask, target_rows, pool_rows):
+        def cir_pool_task(cat, qcat, p, rows, mask, target_rows, pool_rows):
             # pool_rows (B, P): every request retrieves against its OWN
             # target category's pool in the one batched program.
+            del qcat
             y = cir_query(p, cat, rows, mask, target_rows)
             pool_emb = jnp.take(cat, pool_rows, axis=0)  # (B, P, D)
             return retrieve_per_query_pools(y, pool_emb, k=10)  # exact
 
-        def fitb_task(p, cat, rows, mask, text_row, cand_rows):
+        def fitb_task(cat, qcat, p, rows, mask, text_row, cand_rows):
+            del qcat
             y = cir_query(p, cat, rows, mask, text_row)
             cands = jnp.take(cat, cand_rows, axis=0)[None]
             return fitb_pick(y, cands)
@@ -378,6 +389,26 @@ class ServingEngine:
         self._cir_pool_task = jax.jit(cir_pool_task)
         self._fitb_task = jax.jit(fitb_task)
         self._sim_task = jax.jit(sim_task, static_argnums=3)
+
+    def _run(self, jitted, *rest):
+        """Dispatch a task program with the CURRENT catalog refs.
+
+        A concurrent `update_items`/`add_items` donates the old catalog
+        buffer; a stale python Array raises a 'deleted' RuntimeError at
+        dispatch time (never silent corruption). Capturing the refs AND
+        dispatching under the update lock excludes that window entirely —
+        dispatch is asynchronous host work (the device result is awaited
+        OUTSIDE the lock), so requests serialize only their sub-ms
+        enqueue against updates, not their compute. The bounded retry
+        stays as a second line of defense.
+        """
+        for attempt in range(3):
+            try:
+                with self._update_lock:
+                    return jitted(self.catalog_dev, self._qcat, *rest)
+            except RuntimeError as e:
+                if attempt == 2 or "deleted" not in str(e).lower():
+                    raise
 
     def lookup_row(self, item_id: int) -> int:
         row = self.catalog.id_to_row.get(int(item_id))
@@ -464,6 +495,14 @@ class ServingEngine:
         )
 
     def _scatter_to_device(self, rows: np.ndarray, vals: np.ndarray) -> None:
+        # Writer-writer serialization: two concurrent updates must not both
+        # donate the same catalog buffer. Request threads are NOT blocked —
+        # they dispatch through `_run`, which retries once when it loses
+        # the capture-vs-donation race.
+        with self._update_lock:
+            self._scatter_locked(rows, vals)
+
+    def _scatter_locked(self, rows: np.ndarray, vals: np.ndarray) -> None:
         b = self.update_bucket
         for s in range(0, len(rows), b):
             chunk_rows = rows[s : s + b]
@@ -524,7 +563,7 @@ class ServingEngine:
             return float(self._rng.random())
         rows, mask = self._pad(item_ids)
         return float(
-            np.asarray(self._cp_task(self.cp_params, self.catalog_dev, rows, mask))[0]
+            np.asarray(self._run(self._cp_task, self.cp_params, rows, mask))[0]
         )
 
     def cp_score_batch(self, outfits: List[List[int]]) -> List[float]:
@@ -554,8 +593,8 @@ class ServingEngine:
             range(len(outfits)), self.cp_batch_bucket
         ):
             scores = np.asarray(
-                self._cp_task(
-                    self.cp_params, self.catalog_dev, rows[padded], mask[padded]
+                self._run(
+                    self._cp_task, self.cp_params, rows[padded], mask[padded]
                 )
             )
             out.extend(float(s) for s in scores[: len(sel)])
@@ -578,13 +617,13 @@ class ServingEngine:
             else None
         )
         if pool_rows is None:  # whole-catalog retrieval, one fused program
-            d2, idx = self._cir_task(
-                self.cir_params, self.catalog_dev, self._qcat, rows, mask, trow
+            d2, idx = self._run(
+                self._cir_task, self.cir_params, rows, mask, trow
             )
             pool_rows = None  # idx already global rows
         else:
-            d2, idx = self._cir_pool_task(
-                self.cir_params, self.catalog_dev, rows, mask, trow,
+            d2, idx = self._run(
+                self._cir_pool_task, self.cir_params, rows, mask, trow,
                 np.asarray(pool_rows, dtype=np.int32)[None],
             )
         out = []
@@ -637,8 +676,8 @@ class ServingEngine:
         bucket = self.cp_batch_bucket
 
         for sel, padded in _bucket_chunks(cat_idx, bucket):
-            d2, idx = self._cir_task(
-                self.cir_params, self.catalog_dev, self._qcat,
+            d2, idx = self._run(
+                self._cir_task, self.cir_params,
                 rows[padded], mask[padded], trows[padded],
             )
             d2, idx = np.asarray(d2), np.asarray(idx)
@@ -649,8 +688,8 @@ class ServingEngine:
                 ]
         for sel, padded in _bucket_chunks(pool_idx, bucket):
             prows = np.stack([pools_of[int(i)] for i in padded])
-            d2, idx = self._cir_pool_task(
-                self.cir_params, self.catalog_dev,
+            d2, idx = self._run(
+                self._cir_pool_task, self.cir_params,
                 rows[padded], mask[padded], trows[padded], prows,
             )
             d2, idx = np.asarray(d2), np.asarray(idx)
@@ -673,8 +712,8 @@ class ServingEngine:
         rows, mask = self._pad(item_ids)
         return int(
             np.asarray(
-                self._fitb_task(
-                    self.cir_params, self.catalog_dev, rows, mask,
+                self._run(
+                    self._fitb_task, self.cir_params, rows, mask,
                     np.asarray(
                         [self.lookup_row(candidate_ids[0])], dtype=np.int32
                     ),
@@ -717,9 +756,8 @@ class ServingEngine:
         if self.mock:  # model-free UI smoke: random neighbours
             rows = self._rng.choice(self.catalog.n_items, k, replace=False)
             return [self._item_info(int(r), 1.0) for r in rows]
-        d2, idx = self._sim_task(
-            self.catalog_dev, self._qcat,
-            np.asarray([row], dtype=np.int32), k + 1,
+        d2, idx = self._run(
+            self._sim_task, np.asarray([row], dtype=np.int32), k + 1,
         )
         out = []
         for i, dist in zip(np.asarray(idx)[0], np.asarray(d2)[0]):
@@ -746,9 +784,7 @@ class ServingEngine:
             range(len(qrows)), self.cp_batch_bucket
         ):
             chunk = qrows[padded]
-            d2, idx = self._sim_task(
-                self.catalog_dev, self._qcat, chunk, k + 1
-            )
+            d2, idx = self._run(self._sim_task, chunk, k + 1)
             d2, idx = np.asarray(d2), np.asarray(idx)
             for j in range(len(sel)):
                 row = int(chunk[j])

@@ -1051,6 +1051,64 @@ class TestCatalogAppend:
         assert len(eng.catalog_dev.sharding.device_set) == 8
 
 
+class TestConcurrentUpdates:
+    """Requests racing live updates: the donated old buffer makes a stale
+    ref raise 'deleted' at dispatch — `_run` retries with fresh refs, so
+    no request may ever fail or read garbage."""
+
+    def test_requests_survive_update_storm(self, model_cfg):
+        import concurrent.futures
+
+        import jax
+        import numpy as np
+
+        from outfitx_tpu.models import OutfitXModel
+
+        data = make_synthetic(n_items=200, d_embed=32, n_outfits=64, seed=41)
+        params = OutfitXModel(model_cfg).init(jax.random.PRNGKey(0))
+        eng = ServingEngine(
+            model_cfg=model_cfg,
+            catalog=data.catalog,
+            cp_params=params,
+            cir_params=params,
+            warmup=False,
+            quantized=True,
+            pools=None,
+            spare_capacity=64,
+        )
+        rng = np.random.default_rng(0)
+        ids = [int(i) for i in eng.catalog.item_ids[:8]]
+
+        def updater(i):
+            if i % 3 == 0:
+                eng.add_items(
+                    [500_000 + i], rng.normal(size=(1, 32)).astype(np.float32)
+                )
+            else:
+                eng.update_items(
+                    [ids[i % 8]],
+                    rng.normal(size=(1, 32)).astype(np.float32),
+                )
+            return "u"
+
+        def requester(i):
+            if i % 2:
+                return eng.cp_score(ids[: 2 + i % 4])
+            return eng.similar_items(ids[i % 8], k=5)
+
+        with concurrent.futures.ThreadPoolExecutor(8) as ex:
+            futs = [
+                ex.submit(updater if i % 4 == 0 else requester, i)
+                for i in range(48)
+            ]
+            results = [f.result() for f in futs]  # raises on any failure
+        assert len(results) == 48
+        # all appends landed
+        assert eng.catalog.n_items == 200 + len(
+            [i for i in range(48) if i % 4 == 0 and i % 3 == 0]
+        )
+
+
 class TestMeshShardedEngine:
     """ServingEngine(mesh=...) row-shards the catalog over the data axis
     and serves whole-catalog retrieval via per-shard top-k + merge
