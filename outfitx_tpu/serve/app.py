@@ -11,6 +11,9 @@ FITB pick) exposed both as a minimal HTML UI and a JSON API:
     GET  /api/sample_cir?n=4   sampled CIR rows: partial outfit, gt, top-10
     GET  /api/sample_fitb?n=4  sampled FITB rows: gt answer vs predicted pick
     GET  /api/similar?item_id=N  nearest catalog neighbours of an item
+    GET  /api/stats        per-route request counts + rolling p50/p90/p99
+                           latency, error totals, catalog occupancy and
+                           live-update counters (serve/stats.py)
     POST /api/cp           {"outfit": [ids]}               -> {"score"}
                            (serve(coalesce_ms=...) batches concurrent
                            /api/cp calls into one device program)
@@ -27,7 +30,10 @@ FITB pick) exposed both as a minimal HTML UI and a JSON API:
 from __future__ import annotations
 
 import json
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from outfitx_tpu.serve.stats import ServerStats
 from typing import Optional
 
 _HTML = """<!doctype html>
@@ -123,8 +129,11 @@ def make_handler(engine, cp_scorer=None, cir_retriever=None, sim_retriever=None)
     requests — CIR and similar are the 60+ ms dispatches that most need
     it under load."""
 
+    stats = ServerStats()
+
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload, content_type="application/json"):
+            self._last_code = code
             body = (
                 payload.encode()
                 if isinstance(payload, str)
@@ -136,7 +145,31 @@ def make_handler(engine, cp_scorer=None, cir_retriever=None, sim_retriever=None)
             self.end_headers()
             self.wfile.write(body)
 
+        def _timed(self, fn):
+            # Bound route cardinality: strip query strings and collapse
+            # per-item paths (/images/123.jpg -> /images).
+            route = self.path.split("?")[0]
+            if route.startswith("/images/"):
+                route = "/images"
+            self._last_code = None
+            t0 = time.perf_counter()
+            try:
+                return fn()
+            finally:
+                code = self._last_code or 500
+                stats.record(
+                    route,
+                    (time.perf_counter() - t0) * 1000.0,
+                    200 <= code < 400,
+                )
+
         def do_GET(self):
+            return self._timed(self._route_GET)
+
+        def do_POST(self):
+            return self._timed(self._route_POST)
+
+        def _route_GET(self):
             if self.path == "/" or self.path.startswith("/index"):
                 return self._send(200, _HTML, "text/html")
             if self.path.startswith("/api/sample"):
@@ -178,6 +211,8 @@ def make_handler(engine, cp_scorer=None, cir_retriever=None, sim_retriever=None)
                     return self._send(404, {"error": str(e.args[0])})
             if self.path.startswith("/api/health"):
                 return self._send(200, {"ok": True, "mock": engine.mock})
+            if self.path.startswith("/api/stats"):
+                return self._send(200, stats.snapshot(engine))
             if self.path.startswith("/images/"):
                 # item images, reference demo renders these inline
                 # (app.py:255-387); id is int-parsed so no path traversal
@@ -199,7 +234,7 @@ def make_handler(engine, cp_scorer=None, cir_retriever=None, sim_retriever=None)
                 return None
             return self._send(404, {"error": "not found"})
 
-        def do_POST(self):
+        def _route_POST(self):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")

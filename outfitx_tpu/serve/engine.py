@@ -138,6 +138,8 @@ class ServingEngine:
         import threading
 
         self._update_lock = threading.Lock()
+        self.n_updated_rows = 0   # live-update counters (/api/stats)
+        self.n_appended_items = 0
         self.model = OutfitXModel(self.model_cfg)
         if self.spare_capacity:
             # Grow the table to [items][sentinel spare rows][PAD] so
@@ -442,8 +444,10 @@ class ServingEngine:
         the first row (an idempotent re-set), so any update size runs on
         one pre-compiled scatter program per catalog representation; the
         catalog buffers are DONATED — no second catalog-sized HBM
-        allocation. Not thread-safe against in-flight requests holding the
-        old arrays (they complete against the pre-update catalog).
+        allocation. Thread-safe: the whole mutation (host copy + device
+        scatter) runs under the update lock, and requests dispatch through
+        `_run`, which captures the current refs under the same lock —
+        in-flight requests complete against the pre-update catalog.
         """
         if not item_ids:
             return
@@ -454,13 +458,15 @@ class ServingEngine:
                 f"embeddings shape {vals.shape} != "
                 f"({len(rows)}, {self.catalog.d_embed})"
             )
-        self.catalog.embeddings[rows] = vals  # host copy stays consistent
-        if descriptions is not None and self.catalog.descriptions:
-            for r, text in zip(rows, descriptions):
-                self.catalog.descriptions[int(r)] = text
-        if self.mock:
-            return
-        self._scatter_to_device(rows, vals)
+        with self._update_lock:
+            self.catalog.embeddings[rows] = vals  # host copy stays consistent
+            if descriptions is not None and self.catalog.descriptions:
+                for r, text in zip(rows, descriptions):
+                    self.catalog.descriptions[int(r)] = text
+            self.n_updated_rows += len(rows)
+            if self.mock:
+                return
+            self._scatter_locked(rows, vals)
 
     def add_items(
         self,
@@ -482,27 +488,28 @@ class ServingEngine:
         route to whole-catalog retrieval."""
         if not item_ids:
             return
-        rows = self.catalog.append_items(
-            item_ids, embeddings,
-            category_ids=category_ids,
-            semantic_categories=semantic_categories,
-            descriptions=descriptions,
-        )
-        if self.mock:
-            return
-        self._scatter_to_device(
-            rows, np.asarray(embeddings, dtype=np.float32)
-        )
-
-    def _scatter_to_device(self, rows: np.ndarray, vals: np.ndarray) -> None:
-        # Writer-writer serialization: two concurrent updates must not both
-        # donate the same catalog buffer. Request threads are NOT blocked —
-        # they dispatch through `_run`, which retries once when it loses
-        # the capture-vs-donation race.
+        # The lock covers the HOST append too: `append_items` claims spare
+        # rows from a shared counter, so two concurrent appends outside the
+        # lock could claim the same rows (and race `id_to_row`), not just
+        # double-donate the device buffer.
         with self._update_lock:
-            self._scatter_locked(rows, vals)
+            rows = self.catalog.append_items(
+                item_ids, embeddings,
+                category_ids=category_ids,
+                semantic_categories=semantic_categories,
+                descriptions=descriptions,
+            )
+            self.n_appended_items += len(rows)
+            if self.mock:
+                return
+            self._scatter_locked(
+                rows, np.asarray(embeddings, dtype=np.float32)
+            )
 
     def _scatter_locked(self, rows: np.ndarray, vals: np.ndarray) -> None:
+        # Caller holds `_update_lock`: writer-writer serialization (two
+        # concurrent updates must not both donate the same catalog buffer)
+        # and writer-reader exclusion against `_run`'s ref capture.
         b = self.update_bucket
         for s in range(0, len(rows), b):
             chunk_rows = rows[s : s + b]

@@ -51,6 +51,13 @@ def main() -> None:
     ap.add_argument("--threads", type=int, default=8)
     ap.add_argument("--coalesce-ms", type=float, default=3.0)
     ap.add_argument("--port", type=int, default=6111)
+    ap.add_argument(
+        "--update-rate", type=float, default=0.0,
+        help="live catalog writes/sec mixed into the read traffic "
+        "(alternating /api/update_items refreshes and /api/add_items "
+        "appends); exercises the donated-scatter update path under "
+        "concurrent load",
+    )
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
 
@@ -108,6 +115,12 @@ def main() -> None:
         cp_split=data.cp_valid,
         cir_split=data.cir_valid,
         fitb_split=data.fitb_test,
+        # live-update soak: reserve append rows, and keep the scatter
+        # bucket small — every write pads to the bucket and the relay
+        # client leaks host RSS 1:1 per H2D byte, so the default 1024-row
+        # bucket would dominate the leak budget at soak rates.
+        spare_capacity=4096 if args.update_rate > 0 else 0,
+        update_bucket=32 if args.update_rate > 0 else 1024,
     )
     cp_scorer = CoalescingCPScorer(engine, window_ms=args.coalesce_ms)
     cir_retriever = CoalescingCIRRetriever(engine, window_ms=args.coalesce_ms)
@@ -189,12 +202,68 @@ def main() -> None:
         with lock:
             results.extend(local)
 
+    def writer():
+        """Paced live-catalog writes racing the read traffic: alternate
+        embedding refreshes of existing items with appends of brand-new
+        ones (both through the HTTP admin endpoints, so the JSON decode +
+        engine lock path is the one a deployment runs)."""
+        wrng = np.random.default_rng(9999)
+        d = data.catalog.d_embed
+        next_id = max(ids) + 1
+        period = 1.0 / args.update_rate
+        next_t = time.perf_counter()
+        local = []
+        n = 0
+        while time.perf_counter() < deadline and not stop.is_set():
+            if wrng.random() < 0.5:
+                body = {
+                    "item_ids": [
+                        ids[i] for i in wrng.choice(len(ids), 8, replace=False)
+                    ],
+                    "embeddings": wrng.normal(size=(8, d)).round(4).tolist(),
+                }
+                path, kind = "/api/update_items", "update"
+            else:
+                body = {
+                    "item_ids": [next_id],
+                    "embeddings": wrng.normal(size=(1, d)).round(4).tolist(),
+                }
+                next_id += 1
+                path, kind = "/api/add_items", "add"
+            req = urllib.request.Request(
+                base + path, data=json.dumps(body).encode(), method="POST"
+            )
+            t0 = time.perf_counter()
+            try:
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    ok = r.status == 200
+            except Exception:
+                ok = False
+            local.append((kind, time.perf_counter() - t0, ok))
+            n += 1
+            next_t += period
+            time.sleep(max(0.0, next_t - time.perf_counter()))
+        # freshly appended items must be retrievable by the read path
+        if n and next_id > max(ids) + 1:
+            try:
+                with urllib.request.urlopen(
+                    base + f"/api/similar?item_id={next_id - 1}", timeout=120
+                ) as r:
+                    ok = r.status == 200
+            except Exception:
+                ok = False
+            local.append(("similar_fresh_append", 0.0, ok))
+        with lock:
+            results.extend(local)
+
     rss0 = _rss_mb()
     rss_samples = [(0.0, rss0)]
     t_start = time.perf_counter()
     threads = [
         threading.Thread(target=client, args=(i,)) for i in range(args.threads)
     ]
+    if args.update_rate > 0:
+        threads.append(threading.Thread(target=writer))
     for t in threads:
         t.start()
     while any(t.is_alive() for t in threads):
@@ -209,7 +278,7 @@ def main() -> None:
         c.close()
 
     per = {}
-    for kind in kinds:
+    for kind in dict.fromkeys(kinds + [r[0] for r in results]):
         lat = [r[1] * 1000 for r in results if r[0] == kind and r[2]]
         per[kind] = {
             "n": len(lat),

@@ -379,6 +379,34 @@ class TestHTTP:
             assert "missing field" in json.loads(e.read())["error"]
         assert raised
 
+    def test_stats_endpoint(self, server, engine):
+        # generate known traffic, then read it back from /api/stats
+        self._post(server + "/api/cp", {"outfit": engine.sample_outfit(3)})
+        with urllib.request.urlopen(server + "/api/health") as r:
+            assert json.loads(r.read())["ok"]
+        with urllib.request.urlopen(server + "/api/stats") as r:
+            stats = json.loads(r.read())
+        assert stats["total_requests"] >= 2
+        cp = stats["routes"]["/api/cp"]
+        assert cp["n"] >= 1 and cp["p50_ms"] is not None
+        assert stats["routes"]["/api/health"]["errors"] == 0
+        cat = stats["catalog"]
+        assert cat["n_items"] == engine.catalog.n_items
+        assert cat["updated_rows"] == engine.n_updated_rows
+        # bad requests are accounted as errors (test_bad_request ran a 400
+        # against /api/cp in this same class-scoped server, but ordering
+        # isn't guaranteed — force one deterministically)
+        req = urllib.request.Request(
+            server + "/api/cp", data=b"{}", method="POST"
+        )
+        try:
+            urllib.request.urlopen(req)
+        except urllib.error.HTTPError:
+            pass
+        with urllib.request.urlopen(server + "/api/stats") as r:
+            stats2 = json.loads(r.read())
+        assert stats2["routes"]["/api/cp"]["errors"] >= 1
+
 
 class TestConcurrentRequests:
     """ThreadingHTTPServer serves each request on its own thread; jitted
