@@ -145,16 +145,36 @@ def make_handler(engine, cp_scorer=None, cir_retriever=None, sim_retriever=None)
             self.end_headers()
             self.wfile.write(body)
 
+        _ROUTES = frozenset(
+            [
+                "/", "/api/sample", "/api/sample_cp", "/api/sample_cir",
+                "/api/sample_fitb", "/api/similar", "/api/stats",
+                "/api/health", "/images", "/api/cp", "/api/cp_batch",
+                "/api/cir", "/api/fitb", "/api/update_items",
+                "/api/add_items",
+            ]
+        )
+
         def _timed(self, fn):
-            # Bound route cardinality: strip query strings and collapse
-            # per-item paths (/images/123.jpg -> /images).
+            # Bound route cardinality: strip query strings, collapse
+            # per-item paths (/images/123.jpg -> /images) and unknown
+            # paths (a URL scanner must not grow stats._routes forever).
             route = self.path.split("?")[0]
             if route.startswith("/images/"):
                 route = "/images"
+            elif route.startswith("/index"):
+                route = "/"
+            if route not in self._ROUTES:
+                route = "(unmatched)"
             self._last_code = None
             t0 = time.perf_counter()
             try:
                 return fn()
+            except Exception as e:  # noqa: BLE001 — last-resort: a GET
+                # handler bug (e.g. an image deleted between is_file and
+                # read_bytes) must yield an HTTP 500, not a dropped socket
+                if self._last_code is None:
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
             finally:
                 code = self._last_code or 500
                 stats.record(
@@ -225,6 +245,7 @@ def make_handler(engine, cp_scorer=None, cir_retriever=None, sim_retriever=None)
                 if p is None:
                     return self._send(404, {"error": "no image"})
                 body = p.read_bytes()
+                self._last_code = 200  # raw response path bypasses _send
                 self.send_response(200)
                 self.send_header("Content-Type", "image/jpeg")
                 self.send_header("Content-Length", str(len(body)))
@@ -303,6 +324,11 @@ def make_handler(engine, cp_scorer=None, cir_retriever=None, sim_retriever=None)
                 if isinstance(e, UnknownItemError):
                     return self._send(404, {"error": str(e.args[0])})
                 return self._send(400, {"error": f"missing field {e}"})
+            except (ValueError, TypeError) as e:
+                # client-shaped garbage (malformed JSON, ragged embeddings,
+                # capacity exhausted, wrong field types) is a 400, not a
+                # 500 — /api/stats error totals must mean SERVER faults
+                return self._send(400, {"error": f"{type(e).__name__}: {e}"})
             except Exception as e:  # surface errors to the client
                 return self._send(500, {"error": f"{type(e).__name__}: {e}"})
 

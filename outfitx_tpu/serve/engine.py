@@ -50,6 +50,30 @@ class UnknownItemError(KeyError):
     """Raised for item ids absent from the catalog."""
 
 
+class _LockedRng:
+    """np.random.Generator is documented not thread-safe; the engine's
+    sample/mock draws run on ThreadingHTTPServer handler threads, so wrap
+    the shared generator behind one lock (draws are tiny host work)."""
+
+    def __init__(self, rng):
+        import threading
+
+        self._rng = rng
+        self._lock = threading.Lock()
+
+    def choice(self, *a, **k):
+        with self._lock:
+            return self._rng.choice(*a, **k)
+
+    def integers(self, *a, **k):
+        with self._lock:
+            return self._rng.integers(*a, **k)
+
+    def random(self, *a, **k):
+        with self._lock:
+            return self._rng.random(*a, **k)
+
+
 # Donated row scatters for live catalog updates: the input catalog buffer
 # is reused for the output, so a 2M x 1536 catalog is updated without a
 # second catalog-sized HBM allocation. Module-level jits — one compile per
@@ -205,8 +229,12 @@ class ServingEngine:
                 catalog_row_sharding(self.mesh),
             )
         else:
-            self.catalog_dev = jnp.asarray(
-                emb, dtype=jnp.dtype(self.catalog_dtype)
+            # explicit device_put (not jnp.asarray): intended transfers
+            # must be distinguishable so transfer-guard hygiene tests can
+            # ban accidental ones (CLAUDE.md: relay leaks host RSS per
+            # H2D byte; cast host-side so bf16 ships half the bytes)
+            self.catalog_dev = jax.device_put(
+                np.asarray(emb).astype(jnp.dtype(self.catalog_dtype))
             )
         self._qcat = None
         if self.quantized:
@@ -240,7 +268,7 @@ class ServingEngine:
                     # their rows in place
                     self.catalog_dev, n_rows=self.catalog.pad_row
                 )
-        self._rng = np.random.default_rng(0)
+        self._rng = _LockedRng(np.random.default_rng(0))
         if not self.mock:
             self._build_task_programs()
             if self.warmup:
@@ -289,6 +317,21 @@ class ServingEngine:
                 )
         self.similar_items(ids[0])
         self.similar_items_batch(ids[:2])  # coalesced-batch bucket
+        # Live-update scatter programs (dense + int8 requantize): without
+        # this, the FIRST /api/update_items of a cold deployment compiles
+        # them (1-7 min remote) while holding the update lock, freezing
+        # every write (reads capture refs under the same lock but dispatch
+        # outside it). Re-setting row 0 to its own value is idempotent and
+        # exact, so warmup leaves the catalog bit-identical — the value is
+        # round-tripped through the catalog dtype so a bf16 catalog's int8
+        # row requantizes from exactly what the device holds.
+        row0 = (
+            np.asarray(self.catalog.embeddings[:1])
+            .astype(jnp.dtype(self.catalog_dtype))
+            .astype(np.float32)
+        )
+        with self._update_lock:
+            self._scatter_locked(np.asarray([0], dtype=np.int32), row0)
 
     def _build_task_programs(self):
         """One jitted program per task, taking catalog ROW INDICES.
@@ -397,19 +440,29 @@ class ServingEngine:
 
         A concurrent `update_items`/`add_items` donates the old catalog
         buffer; a stale python Array raises a 'deleted' RuntimeError at
-        dispatch time (never silent corruption). Capturing the refs AND
-        dispatching under the update lock excludes that window entirely —
-        dispatch is asynchronous host work (the device result is awaited
-        OUTSIDE the lock), so requests serialize only their sub-ms
-        enqueue against updates, not their compute. The bounded retry
-        stays as a second line of defense.
+        dispatch time (never silent corruption). The lock covers only the
+        REF CAPTURE (so `catalog_dev`/`_qcat` are a consistent pair, never
+        torn across an update) — the dispatch itself runs outside it, so a
+        first-call trace+remote-compile (1-7 min for an unwarmed shape,
+        e.g. an odd FITB candidate bucket) stalls only its own request,
+        never every route behind the lock. If the capture loses the race
+        to an update's donation, dispatch raises 'deleted' and the bounded
+        retry re-captures fresh refs; the LAST attempt dispatches under
+        the lock itself — it cannot lose, and by then the executable is
+        compiled (the error is raised at Execute time, after tracing), so
+        it never holds the lock across a compile. Under a write storm a
+        lock-free request can lose several races in a row, so the
+        guaranteed final attempt is what makes requests never fail.
         """
-        for attempt in range(3):
+        for attempt in range(4):
+            with self._update_lock:
+                cat, qcat = self.catalog_dev, self._qcat
+                if attempt == 3:
+                    return jitted(cat, qcat, *rest)
             try:
-                with self._update_lock:
-                    return jitted(self.catalog_dev, self._qcat, *rest)
+                return jitted(cat, qcat, *rest)
             except RuntimeError as e:
-                if attempt == 2 or "deleted" not in str(e).lower():
+                if "deleted" not in str(e).lower():
                     raise
 
     def lookup_row(self, item_id: int) -> int:
@@ -466,6 +519,14 @@ class ServingEngine:
             self.n_updated_rows += len(rows)
             if self.mock:
                 return
+            if len(np.unique(rows)) != len(rows):
+                # duplicate ids in one request: the host assignment above
+                # is last-wins, but jnp scatter order under duplicate
+                # indices is unspecified — dedupe keeping each row's LAST
+                # value so host and device can never diverge
+                last = {int(r): i for i, r in enumerate(rows)}
+                keep = np.asarray(sorted(last.values()), dtype=np.int64)
+                rows, vals = rows[keep], vals[keep]
             self._scatter_locked(rows, vals)
 
     def add_items(
@@ -636,6 +697,10 @@ class ServingEngine:
         out = []
         for i, dist in zip(np.asarray(idx)[0], np.asarray(d2)[0]):
             row = int(i) if pool_rows is None else int(pool_rows[i])
+            if row >= self.catalog.n_items:
+                # unfilled spare sentinel: reachable only when fewer real
+                # items than k exist (a sentinel never BEATS a real row)
+                continue
             out.append(self._item_info(row, float(dist)))
         return out
 
@@ -692,6 +757,7 @@ class ServingEngine:
                 out[i] = [
                     self._item_info(int(r), float(dd))
                     for r, dd in zip(idx[j], d2[j])
+                    if int(r) < self.catalog.n_items  # skip spare sentinels
                 ]
         for sel, padded in _bucket_chunks(pool_idx, bucket):
             prows = np.stack([pools_of[int(i)] for i in padded])
@@ -717,6 +783,20 @@ class ServingEngine:
         # share a category, so use the first candidate's text embedding
         # (matches processor semantics, app.py:205-232).
         rows, mask = self._pad(item_ids)
+        # Bucket the candidate count to powers of two (>=4) so arbitrary
+        # client counts hit a handful of compiled programs instead of one
+        # trace+remote-compile per count. Pads repeat candidate 0's row:
+        # a pad's distance is BITWISE equal to slot 0's, and jnp.argmin
+        # returns the first minimal index, so a pad slot can never win.
+        cand_rows = np.asarray(
+            self.catalog.rows(candidate_ids), dtype=np.int32
+        )
+        bucket = max(4, 1 << (len(cand_rows) - 1).bit_length())
+        if len(cand_rows) < bucket:
+            cand_rows = np.concatenate(
+                [cand_rows,
+                 np.repeat(cand_rows[:1], bucket - len(cand_rows))]
+            )
         return int(
             np.asarray(
                 self._run(
@@ -724,7 +804,7 @@ class ServingEngine:
                     np.asarray(
                         [self.lookup_row(candidate_ids[0])], dtype=np.int32
                     ),
-                    np.asarray(self.catalog.rows(candidate_ids), dtype=np.int32),
+                    cand_rows,
                 )
             )[0]
         )
@@ -768,8 +848,8 @@ class ServingEngine:
         )
         out = []
         for i, dist in zip(np.asarray(idx)[0], np.asarray(d2)[0]):
-            if int(i) == row:
-                continue  # skip the query item itself
+            if int(i) == row or int(i) >= self.catalog.n_items:
+                continue  # skip the query item itself / spare sentinels
             out.append(self._item_info(int(i), float(dist)))
         return out[:k]
 
@@ -798,7 +878,7 @@ class ServingEngine:
                 items = [
                     self._item_info(int(i), float(dd))
                     for i, dd in zip(idx[j], d2[j])
-                    if int(i) != row
+                    if int(i) != row and int(i) < self.catalog.n_items
                 ]
                 out.append(items[:k])
         return out

@@ -348,8 +348,10 @@ class TestHTTP:
         sims = engine.similar_items(src, k=3)
         assert sims[0]["item_id"] == dst
 
-    def test_add_items_without_capacity_gets_500(self, server):
-        # the TestHTTP engine reserves no spare capacity -> ValueError
+    def test_add_items_without_capacity_gets_400(self, server):
+        # the TestHTTP engine reserves no spare capacity -> ValueError,
+        # reported as a CLIENT error (400): /api/stats server-error totals
+        # must not count deployment-shaped misuse
         req = urllib.request.Request(
             server + "/api/add_items",
             data=json.dumps(
@@ -362,7 +364,7 @@ class TestHTTP:
             raised = False
         except urllib.error.HTTPError as e:
             raised = True
-            assert e.code == 500
+            assert e.code == 400
             assert "capacity" in json.loads(e.read())["error"]
         assert raised
 
@@ -379,13 +381,52 @@ class TestHTTP:
             assert "missing field" in json.loads(e.read())["error"]
         assert raised
 
+    def test_malformed_json_gets_400(self, server):
+        req = urllib.request.Request(
+            server + "/api/cp", data=b"not json", method="POST"
+        )
+        try:
+            urllib.request.urlopen(req)
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = True
+            assert e.code == 400
+        assert raised
+
+    def test_unmatched_routes_collapse_in_stats(self, server):
+        for p in ("/wp-admin", "/scan-me-12345"):
+            try:
+                urllib.request.urlopen(server + p)
+            except urllib.error.HTTPError:
+                pass
+        stats = self._stats_when(
+            server, lambda s: "(unmatched)" in s["routes"]
+        )
+        assert "(unmatched)" in stats["routes"]
+        assert "/wp-admin" not in stats["routes"]
+
+    def _stats_when(self, server, cond, tries=40):
+        # stats are recorded on the handler thread AFTER the response is
+        # written, so poll briefly for the expected row to appear
+        import time
+
+        for _ in range(tries):
+            with urllib.request.urlopen(server + "/api/stats") as r:
+                stats = json.loads(r.read())
+            if cond(stats):
+                return stats
+            time.sleep(0.05)
+        return stats
+
     def test_stats_endpoint(self, server, engine):
         # generate known traffic, then read it back from /api/stats
         self._post(server + "/api/cp", {"outfit": engine.sample_outfit(3)})
         with urllib.request.urlopen(server + "/api/health") as r:
             assert json.loads(r.read())["ok"]
-        with urllib.request.urlopen(server + "/api/stats") as r:
-            stats = json.loads(r.read())
+        stats = self._stats_when(
+            server,
+            lambda s: {"/api/cp", "/api/health"} <= set(s["routes"]),
+        )
         assert stats["total_requests"] >= 2
         cp = stats["routes"]["/api/cp"]
         assert cp["n"] >= 1 and cp["p50_ms"] is not None
@@ -403,8 +444,10 @@ class TestHTTP:
             urllib.request.urlopen(req)
         except urllib.error.HTTPError:
             pass
-        with urllib.request.urlopen(server + "/api/stats") as r:
-            stats2 = json.loads(r.read())
+        stats2 = self._stats_when(
+            server,
+            lambda s: s["routes"].get("/api/cp", {}).get("errors", 0) >= 1,
+        )
         assert stats2["routes"]["/api/cp"]["errors"] >= 1
 
 
@@ -1077,6 +1120,92 @@ class TestCatalogAppend:
         sims = eng.similar_items(src, k=3)
         assert sims[0]["item_id"] == 888_001
         assert len(eng.catalog_dev.sharding.device_set) == 8
+
+
+class TestReviewHardening:
+    """Round-4 code-review findings: fitb candidate bucketing, sentinel
+    filtering at tiny catalogs, duplicate-id update dedup, client-garbage
+    status codes, stats route-cardinality bound."""
+
+    def _mk(self, model_cfg, n_items=300, synth=None, **kw):
+        import jax
+
+        from outfitx_tpu.models import OutfitXModel
+
+        data = make_synthetic(
+            **{
+                "n_items": n_items, "d_embed": 32, "n_outfits": 32,
+                "seed": 9, **(synth or {}),
+            }
+        )
+        params = OutfitXModel(model_cfg).init(jax.random.PRNGKey(0))
+        return ServingEngine(
+            **{
+                "model_cfg": model_cfg, "catalog": data.catalog,
+                "cp_params": params, "cir_params": params,
+                "warmup": False, **kw,
+            }
+        )
+
+    def test_fitb_any_candidate_count_buckets(self, model_cfg):
+        eng = self._mk(model_cfg)
+        ids = eng.sample_outfit(8)
+        outfit, cands5 = ids[:3], ids[3:8]
+        pick5 = eng.fitb_pick(outfit, cands5)
+        assert 0 <= pick5 < 5
+        # manual pad to the bucket with candidate 0 == same program, and
+        # the winner must be the same real slot
+        pick8 = eng.fitb_pick(outfit, cands5 + [cands5[0]] * 3)
+        assert pick8 == pick5
+        # the engine compiled one program for C in {5..8}: only buckets
+        # 4 and 8 exist as trace shapes
+        pick6 = eng.fitb_pick(outfit, cands5 + [cands5[1]])
+        assert 0 <= pick6 < 6
+
+    def test_tiny_catalog_with_spares_returns_only_real_items(
+        self, model_cfg
+    ):
+        eng = self._mk(
+            model_cfg, n_items=9, spare_capacity=64,
+            synth={"n_styles": 1, "outfit_len": (2, 3), "n_outfits": 8},
+        )
+        ids = [int(i) for i in eng.catalog.item_ids[:4]]
+        sims = eng.similar_items(ids[0], k=10)  # k+1 > n_items
+        assert 0 < len(sims) <= 8  # real neighbours only, query excluded
+        assert all(
+            s["item_id"] in set(int(i) for i in eng.catalog.item_ids[:9])
+            for s in sims
+        )
+        top = eng.cir_top10(ids[:2], ids[2])
+        assert 0 < len(top) <= 9
+        batch = eng.cir_top10_batch([(ids[:2], ids[2])])[0]
+        assert [t["item_id"] for t in batch] == [t["item_id"] for t in top]
+
+    def test_duplicate_update_ids_last_wins_on_device(self, model_cfg):
+        import numpy as np
+
+        eng = self._mk(model_cfg, quantized=True)
+        a = int(eng.catalog.item_ids[0])
+        row = eng.lookup_row(a)
+        rng = np.random.default_rng(3)
+        v1 = rng.normal(size=(32,)).astype(np.float32)
+        v2 = rng.normal(size=(32,)).astype(np.float32)
+        eng.update_items([a, a], np.stack([v1, v2]))
+        np.testing.assert_array_equal(eng.catalog.embeddings[row], v2)
+        dev = np.asarray(eng.catalog_dev)[row]
+        np.testing.assert_allclose(dev, v2, rtol=0, atol=0)
+
+    def test_scatter_warmup_is_bit_exact(self, model_cfg):
+        import numpy as np
+
+        cold = self._mk(model_cfg, quantized=True, warmup=False)
+        warm = self._mk(model_cfg, quantized=True, warmup=True)
+        np.testing.assert_array_equal(
+            np.asarray(cold.catalog_dev), np.asarray(warm.catalog_dev)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(cold._qcat.values), np.asarray(warm._qcat.values)
+        )
 
 
 class TestConcurrentUpdates:
