@@ -9,13 +9,23 @@ _cache_enabled = False
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
-    """Persistent XLA compilation cache.
+    """Persistent XLA compilation cache, seeded from the committed pack.
 
     First compiles through the TPU compile service run 1-7 minutes for this
     framework's programs; the persistent cache makes every later process
     (re-runs, resumed training, serving restarts, benchmarks) hit in
     milliseconds. Called by the harness, CLI, bench, and serving entry
     points; respects an existing JAX_COMPILATION_CACHE_DIR.
+
+    The local cache dir does not survive environment resets (here: the
+    container home is wiped at every round boundary), so a repo-committed
+    *pack* of cache entries (``compile_cache/``, built by
+    ``scripts/build_cache_pack.py``) is copied into the cache dir on
+    enable — the generalization of ``bench_cache/``'s single-program pin
+    to the whole standing surface. Entries whose key no longer matches
+    (e.g. after a remote compiler-service upgrade — the key covers the
+    compiler version) simply miss and recompile; seeding is never worse
+    than an empty cache. Disable with ``OUTFITX_CACHE_PACK=0``.
     """
     global _cache_enabled
     if _cache_enabled:
@@ -28,9 +38,64 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
         or str(pathlib.Path.home() / ".cache" / "outfitx_tpu" / "jax_cache")
     )
     pathlib.Path(cache_dir).mkdir(parents=True, exist_ok=True)
+    seed_compilation_cache(cache_dir)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     _cache_enabled = True
+
+
+def default_cache_pack() -> pathlib.Path | None:
+    """The committed compile-cache pack dir, if this is a repo checkout.
+
+    ``OUTFITX_CACHE_PACK`` overrides: a path uses that pack, ``0``/``off``
+    disables seeding entirely. Returns None when seeding is disabled or no
+    pack exists (e.g. the package is installed outside its checkout).
+    """
+    env = os.environ.get("OUTFITX_CACHE_PACK")
+    if env is not None:
+        if env.strip().lower() in ("", "0", "off", "none"):
+            return None
+        p = pathlib.Path(env)
+        return p if p.is_dir() else None
+    pack = pathlib.Path(__file__).resolve().parents[2] / "compile_cache"
+    return pack if pack.is_dir() else None
+
+
+def seed_compilation_cache(
+    cache_dir: str | pathlib.Path,
+    pack_dir: str | pathlib.Path | None = None,
+) -> list[str]:
+    """Copy pack entries missing from ``cache_dir``; return the names copied.
+
+    Idempotent and concurrency-safe: existing cache entries are never
+    touched (a live process may be writing them), and each copy lands via
+    a temp file + atomic rename so a concurrent reader sees either nothing
+    or a complete entry. Manifest/metadata files are skipped — only
+    ``*-cache`` entries are XLA's.
+    """
+    pack = pathlib.Path(pack_dir) if pack_dir is not None else default_cache_pack()
+    if pack is None or not pack.is_dir():
+        return []
+    import shutil
+    import tempfile
+
+    cache = pathlib.Path(cache_dir)
+    cache.mkdir(parents=True, exist_ok=True)
+    seeded: list[str] = []
+    for src in sorted(pack.glob("*-cache")):
+        dst = cache / src.name
+        if dst.exists():
+            continue
+        fd, tmp = tempfile.mkstemp(dir=cache, prefix=f".{src.name}.")
+        os.close(fd)
+        try:
+            shutil.copyfile(src, tmp)
+            os.replace(tmp, dst)
+        except BaseException:
+            pathlib.Path(tmp).unlink(missing_ok=True)
+            raise
+        seeded.append(src.name)
+    return seeded
 
 
 def enable_fast_prng() -> None:

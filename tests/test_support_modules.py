@@ -2,6 +2,7 @@
 logging, best-metric tracking, batching edges, tokenizer determinism."""
 
 import json
+import pathlib
 
 import numpy as np
 import pytest
@@ -266,3 +267,72 @@ class TestDevicesProbe:
         monkeypatch.setenv("OUTFITX_BENCH_RETRY", "10")
         with pytest.raises(RuntimeError, match="after 10 retries"):
             runtime.retry_if_backend_down(max_retries=10, probe_timeout_s=1.0)
+
+
+class TestCompilationCachePack:
+    """The committed compile-cache pack (compile_cache/) seeds fresh local
+    caches so same-compiler-version processes skip 1-7 min remote compiles
+    (core/runtime.seed_compilation_cache; built by
+    scripts/build_cache_pack.py)."""
+
+    def test_seeds_missing_entries_only(self, tmp_path):
+        from outfitx_tpu.core import runtime
+
+        pack = tmp_path / "pack"
+        cache = tmp_path / "cache"
+        pack.mkdir()
+        (pack / "jit_a-1111-cache").write_bytes(b"A" * 64)
+        (pack / "jit_b-2222-cache").write_bytes(b"B" * 64)
+        (pack / "MANIFEST.tsv").write_text("ignored\n")
+        cache.mkdir()
+        (cache / "jit_a-1111-cache").write_bytes(b"LOCAL")  # never touched
+
+        seeded = runtime.seed_compilation_cache(cache, pack)
+        assert seeded == ["jit_b-2222-cache"]
+        assert (cache / "jit_a-1111-cache").read_bytes() == b"LOCAL"
+        assert (cache / "jit_b-2222-cache").read_bytes() == b"B" * 64
+        assert not (cache / "MANIFEST.tsv").exists()
+        # idempotent: second seed copies nothing
+        assert runtime.seed_compilation_cache(cache, pack) == []
+        # no temp droppings
+        assert not [p for p in cache.iterdir() if p.name.startswith(".")]
+
+    def test_env_override_and_disable(self, tmp_path, monkeypatch):
+        from outfitx_tpu.core import runtime
+
+        pack = tmp_path / "p"
+        pack.mkdir()
+        (pack / "jit_x-0-cache").write_bytes(b"X")
+        monkeypatch.setenv("OUTFITX_CACHE_PACK", str(pack))
+        assert runtime.default_cache_pack() == pack
+        monkeypatch.setenv("OUTFITX_CACHE_PACK", "0")
+        assert runtime.default_cache_pack() is None
+        cache = tmp_path / "c"
+        assert runtime.seed_compilation_cache(cache) == []
+
+    def test_build_script_caps_and_manifest(self, tmp_path):
+        import subprocess
+        import sys
+
+        cache = tmp_path / "cache"
+        pack = tmp_path / "pack"
+        cache.mkdir()
+        (cache / "jit_small-1-cache").write_bytes(b"s" * 100)
+        (cache / "jit_big-2-cache").write_bytes(b"b" * (3 * 2**20))
+        (cache / "jit_chained-3-cache").write_bytes(b"c")  # bench_cache's
+        r = subprocess.run(
+            [
+                sys.executable,
+                "scripts/build_cache_pack.py",
+                "--cache-dir", str(cache),
+                "--pack", str(pack),
+                "--max-entry-mb", "1",
+            ],
+            capture_output=True,
+            text=True,
+            cwd=str(pathlib.Path(__file__).resolve().parents[1]),
+        )
+        assert r.returncode == 0, r.stderr
+        names = sorted(p.name for p in pack.glob("*-cache"))
+        assert names == ["jit_small-1-cache"]  # big over cap, chained excluded
+        assert "jit_small-1-cache\t100" in (pack / "MANIFEST.tsv").read_text()
