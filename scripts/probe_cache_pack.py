@@ -20,7 +20,11 @@ Prints one JSON line: {"ready_s": ..., "routes_s": ..., "seeded": N}.
 from __future__ import annotations
 
 import json
+import pathlib
+import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 T0 = time.perf_counter()
 
