@@ -52,6 +52,14 @@ def main() -> None:
     ap.add_argument("--coalesce-ms", type=float, default=3.0)
     ap.add_argument("--port", type=int, default=6111)
     ap.add_argument(
+        "--thread-sweep", type=str, default="",
+        help="comma list of client-thread counts (e.g. 1,2,4,8,16,32): "
+        "instead of one long soak, run one --window-s read-only window "
+        "per count against the SAME warmed engine and report the "
+        "saturation curve (req/s + cp/cir p50/p99 per point)",
+    )
+    ap.add_argument("--window-s", type=float, default=90.0)
+    ap.add_argument(
         "--update-rate", type=float, default=0.0,
         help="live catalog writes/sec mixed into the read traffic "
         "(alternating /api/update_items refreshes and /api/add_items "
@@ -183,12 +191,7 @@ def main() -> None:
     for k in kinds:
         request(k, np.random.default_rng(1))
 
-    deadline = time.perf_counter() + args.minutes * 60
-    stop = threading.Event()
-    results = []  # (kind, latency_s, ok) tuples, merged post-hoc
-    lock = threading.Lock()
-
-    def client(tid: int):
+    def client(tid, deadline, results, lock, stop):
         crng = np.random.default_rng(1000 + tid)
         local = []
         while time.perf_counter() < deadline and not stop.is_set():
@@ -201,6 +204,59 @@ def main() -> None:
             local.append((kind, time.perf_counter() - t0, ok))
         with lock:
             results.extend(local)
+
+    if args.thread_sweep:
+        # Saturation curve: sequential read-only windows at rising client
+        # concurrency against the one warmed engine (startup paid once).
+        points = []
+        for n in [int(x) for x in args.thread_sweep.split(",") if x]:
+            res: list = []
+            lk = threading.Lock()
+            dl = time.perf_counter() + args.window_s
+            ths = [
+                threading.Thread(
+                    target=client, args=(i, dl, res, lk, threading.Event())
+                )
+                for i in range(n)
+            ]
+            t0 = time.perf_counter()
+            for t in ths:
+                t.start()
+            for t in ths:
+                t.join()
+            dur = time.perf_counter() - t0
+
+            def lat(kind, q):
+                return round(
+                    _pct([r[1] * 1e3 for r in res if r[0] == kind and r[2]], q), 1
+                )
+
+            points.append({
+                "threads": n,
+                "req_per_s": round(len(res) / dur, 1),
+                "errors": sum(1 for r in res if not r[2]),
+                "cp_p50_ms": lat("cp", 0.50), "cp_p99_ms": lat("cp", 0.99),
+                "cir_p50_ms": lat("cir", 0.50), "cir_p99_ms": lat("cir", 0.99),
+            })
+            print(f"# {points[-1]}", file=sys.stderr, flush=True)
+        httpd.shutdown()
+        for c in (cp_scorer, cir_retriever, sim_retriever):
+            c.close()
+        print(
+            json.dumps({
+                "metric": "serving_thread_sweep",
+                "items": args.items,
+                "window_s": args.window_s,
+                "points": points,
+            }),
+            flush=True,
+        )
+        return
+
+    deadline = time.perf_counter() + args.minutes * 60
+    stop = threading.Event()
+    results = []  # (kind, latency_s, ok) tuples, merged post-hoc
+    lock = threading.Lock()
 
     def writer():
         """Paced live-catalog writes racing the read traffic: alternate
@@ -260,7 +316,8 @@ def main() -> None:
     rss_samples = [(0.0, rss0)]
     t_start = time.perf_counter()
     threads = [
-        threading.Thread(target=client, args=(i,)) for i in range(args.threads)
+        threading.Thread(target=client, args=(i, deadline, results, lock, stop))
+        for i in range(args.threads)
     ]
     if args.update_rate > 0:
         threads.append(threading.Thread(target=writer))
