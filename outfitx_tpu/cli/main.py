@@ -275,6 +275,12 @@ def pes(output_dir, weights, **kw):
 @cli.command()
 @click.option("--port", type=int, default=6006)
 @click.option("--synthetic", is_flag=True)
+@click.option("--dataset-dir", default="datasets/polyvore")
+@click.option("--polyvore-type", type=click.Choice(["nondisjoint", "disjoint"]),
+              default="nondisjoint")
+@click.option("--checkpoint-dir", default="checkpoints",
+              help="dir holding the trained best_auc / best_recall@1 "
+              "checkpoints to serve")
 @click.option("--mock", is_flag=True, help="UI smoke test with fake predictions")
 @click.option("--quantized", is_flag=True, help="int8 catalog for whole-catalog retrieval")
 @click.option(
@@ -308,13 +314,16 @@ def pes(output_dir, weights, **kw):
     "per-shard top-k + merge (ops/retrieval_sharded.py); aggregate HBM "
     "scales with the device count",
 )
-def demo(port, synthetic, mock, quantized, quantize_model, exact_topk,
-         coalesce_ms, catalog_dtype, spare_capacity, shard_catalog):
+def demo(port, synthetic, dataset_dir, polyvore_type, checkpoint_dir, mock,
+         quantized, quantize_model, exact_topk, coalesce_ms, catalog_dtype,
+         spare_capacity, shard_catalog):
     """Serving demo (reference src/demo/app.py, port 6006)."""
     from outfitx_tpu.serve.app import build_engine, serve
 
     engine = build_engine(
         synthetic=synthetic, mock=mock, quantized=quantized,
+        dataset_dir=dataset_dir, polyvore_type=polyvore_type,
+        checkpoint_dir=checkpoint_dir,
         quantize_model=quantize_model,
         exact_topk=exact_topk, catalog_dtype=catalog_dtype,
         shard_catalog=shard_catalog, spare_capacity=spare_capacity,

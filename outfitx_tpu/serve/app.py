@@ -344,6 +344,7 @@ def build_engine(
     mock: bool = False,
     model_cfg=None,
     dataset_dir: str = "datasets/polyvore",
+    polyvore_type: str = "nondisjoint",
     checkpoint_dir: str = "checkpoints",
     quantized: bool = False,
     quantize_model: bool = False,
@@ -398,7 +399,7 @@ def build_engine(
             # demo serves CIR against the CIR dataset's candidate pools,
             # app.py:169-201)
             cir_split = OutfitSplit.load(
-                catalog, dataset_dir, "nondisjoint", "test",
+                catalog, dataset_dir, polyvore_type, "test",
                 model_cfg.max_outfit_len,
             )
             pools = CandidatePools.build(catalog, cir_split)
@@ -408,14 +409,14 @@ def build_engine(
         # independently when its split file is absent
         try:
             cp_split = CPSplit.load(
-                catalog, dataset_dir, "nondisjoint", "test",
+                catalog, dataset_dir, polyvore_type, "test",
                 model_cfg.max_outfit_len,
             )
         except FileNotFoundError:
             pass
         try:
             fitb_split = FITBSplit.load(
-                catalog, dataset_dir, "nondisjoint", "test",
+                catalog, dataset_dir, polyvore_type, "test",
                 model_cfg.max_outfit_len,
             )
         except FileNotFoundError:
