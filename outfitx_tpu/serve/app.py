@@ -149,7 +149,8 @@ def make_handler(engine, cp_scorer=None, cir_retriever=None, sim_retriever=None)
             [
                 "/", "/api/sample", "/api/sample_cp", "/api/sample_cir",
                 "/api/sample_fitb", "/api/similar", "/api/stats",
-                "/api/health", "/images", "/api/cp", "/api/cp_batch",
+                "/api/health", "/api/openapi.json", "/images",
+                "/api/cp", "/api/cp_batch",
                 "/api/cir", "/api/fitb", "/api/update_items",
                 "/api/add_items",
             ]
@@ -231,6 +232,10 @@ def make_handler(engine, cp_scorer=None, cir_retriever=None, sim_retriever=None)
                     return self._send(404, {"error": str(e.args[0])})
             if self.path.startswith("/api/health"):
                 return self._send(200, {"ok": True, "mock": engine.mock})
+            if self.path.startswith("/api/openapi.json"):
+                from outfitx_tpu.serve.openapi import build_spec
+
+                return self._send(200, build_spec())
             if self.path.startswith("/api/stats"):
                 return self._send(200, stats.snapshot(engine))
             if self.path.startswith("/images/"):
