@@ -4,8 +4,14 @@ from __future__ import annotations
 
 import os
 import pathlib
+import sys
 
 _cache_enabled = False
+
+# The pack entries the last enable_compilation_cache() call copied in —
+# lets probes (scripts/probe_cache_pack.py) report whether seeding
+# actually happened in an A/B cold-start comparison.
+last_seeded: list[str] = []
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
@@ -38,7 +44,19 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
         or str(pathlib.Path.home() / ".cache" / "outfitx_tpu" / "jax_cache")
     )
     pathlib.Path(cache_dir).mkdir(parents=True, exist_ok=True)
-    seed_compilation_cache(cache_dir)
+    global last_seeded
+    try:
+        last_seeded = seed_compilation_cache(cache_dir)
+    except OSError as e:
+        # Seeding is an optimization; a pack/filesystem problem must never
+        # be worse than starting with an empty cache (JAX itself treats
+        # persistent-cache write failures as non-fatal).
+        print(
+            f"outfitx_tpu: cache-pack seeding failed ({e}); "
+            "continuing with the unseeded cache",
+            file=sys.stderr,
+        )
+        last_seeded = []
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     _cache_enabled = True
@@ -56,7 +74,18 @@ def default_cache_pack() -> pathlib.Path | None:
         if env.strip().lower() in ("", "0", "off", "none"):
             return None
         p = pathlib.Path(env)
-        return p if p.is_dir() else None
+        if not p.is_dir():
+            # A typo'd path (or '1' assumed to be an on/off flag) silently
+            # costing 1-7 min/program in remote compiles is exactly what
+            # this feature exists to avoid — say so instead.
+            print(
+                f"outfitx_tpu: OUTFITX_CACHE_PACK={env!r} is not a "
+                "directory; cache seeding DISABLED (use a pack path, or "
+                "'0' to disable on purpose)",
+                file=sys.stderr,
+            )
+            return None
+        return p
     pack = pathlib.Path(__file__).resolve().parents[2] / "compile_cache"
     return pack if pack.is_dir() else None
 
@@ -81,7 +110,13 @@ def seed_compilation_cache(
 
     cache = pathlib.Path(cache_dir)
     cache.mkdir(parents=True, exist_ok=True)
+    # Mark the cache as pack-seeded BEFORE copying: a seeded cache cannot
+    # distinguish live keys from re-seeded dead ones, so
+    # scripts/build_cache_pack.py refuses --prune against it (pruning must
+    # run on a cache rebuilt with OUTFITX_CACHE_PACK=0).
+    (cache / ".seeded_from_pack").write_text(str(pack) + "\n")
     seeded: list[str] = []
+    failed = 0
     for src in sorted(pack.glob("*-cache")):
         dst = cache / src.name
         if dst.exists():
@@ -91,10 +126,22 @@ def seed_compilation_cache(
         try:
             shutil.copyfile(src, tmp)
             os.replace(tmp, dst)
+        except OSError:
+            # one unreadable/uncopyable entry (disk full, bad file) must
+            # not abort the process OR the rest of the seeding
+            pathlib.Path(tmp).unlink(missing_ok=True)
+            failed += 1
+            continue
         except BaseException:
             pathlib.Path(tmp).unlink(missing_ok=True)
             raise
         seeded.append(src.name)
+    if failed:
+        print(
+            f"outfitx_tpu: {failed} cache-pack entries failed to copy "
+            f"({len(seeded)} seeded); continuing",
+            file=sys.stderr,
+        )
     return seeded
 
 

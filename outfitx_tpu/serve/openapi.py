@@ -37,19 +37,30 @@ _ERROR = {
 }
 
 
-def _json_op(summary, request=None, response=None, params=None, tags=None):
-    op = {"summary": summary, "responses": {
+def _json_op(summary, request=None, response=None, params=None, tags=None,
+             errors=()):
+    """One JSON operation. ``errors`` lists exactly the non-500 error
+    responses this route can actually produce, as (code, description)
+    pairs — the handler's status behavior is the source of truth
+    (``app.make_handler``; its last-resort 500 applies to every route)."""
+    responses = {
         "200": {
             "description": "success",
             "content": {"application/json": {
                 "schema": response or {"type": "object"},
             }},
         },
-        "400": {
-            "description": "malformed request",
+    }
+    for code, desc in errors:
+        responses[code] = {
+            "description": desc,
             "content": {"application/json": {"schema": _ERROR}},
-        },
-    }}
+        }
+    responses["500"] = {
+        "description": "internal error",
+        "content": {"application/json": {"schema": _ERROR}},
+    }
+    op = {"summary": summary, "responses": responses}
     if request is not None:
         op["requestBody"] = {
             "required": True,
@@ -60,6 +71,15 @@ def _json_op(summary, request=None, response=None, params=None, tags=None):
     if tags:
         op["tags"] = tags
     return op
+
+
+# The status codes each route can actually emit (mirrors app.make_handler:
+# missing/garbage fields -> 400, UnknownItemError -> 404, absent test
+# split -> 404; /api/add_items rejects duplicates/capacity as 400 and
+# never 404s — it only ever introduces ids).
+_E400 = ("400", "malformed request (missing field / wrong types)")
+_E404_ITEM = ("404", "unknown item_id")
+_E404_SPLIT = ("404", "test split not loaded")
 
 
 def _outfit_request(extra=None, required=("outfit",)):
@@ -96,7 +116,7 @@ def build_spec() -> dict:
             request=_outfit_request(),
             response={"type": "object",
                       "properties": {"score": {"type": "number"}}},
-            tags=["inference"],
+            tags=["inference"], errors=(_E400, _E404_ITEM),
         )},
         "/api/cp_batch": {"post": _json_op(
             "compatibility scores for many outfits in one device program",
@@ -105,7 +125,7 @@ def build_spec() -> dict:
                 "required": ["outfits"]},
             response={"type": "object", "properties": {
                 "scores": {"type": "array", "items": {"type": "number"}}}},
-            tags=["inference"],
+            tags=["inference"], errors=(_E400, _E404_ITEM),
         )},
         "/api/cir": {"post": _json_op(
             "top-10 complementary items for an outfit + target description",
@@ -115,7 +135,7 @@ def build_spec() -> dict:
                 required=("outfit", "target")),
             response={"type": "object",
                       "properties": {"items": _SCORED_ITEMS}},
-            tags=["inference"],
+            tags=["inference"], errors=(_E400, _E404_ITEM),
         )},
         "/api/fitb": {"post": _json_op(
             "pick the best of 4 candidates for the blank (argmin distance)",
@@ -125,7 +145,7 @@ def build_spec() -> dict:
             response={"type": "object", "properties": {
                 "pick": {"type": "integer",
                          "description": "index into candidates"}}},
-            tags=["inference"],
+            tags=["inference"], errors=(_E400, _E404_ITEM),
         )},
         "/api/similar": {"get": _json_op(
             "nearest-neighbour items for a catalog item",
@@ -136,6 +156,7 @@ def build_spec() -> dict:
             response={"type": "object",
                       "properties": {"items": _SCORED_ITEMS}},
             tags=["inference"],
+            errors=(("400", "item_id query param required"), _E404_ITEM),
         )},
         "/api/sample": {"get": _json_op(
             "random catalog outfit (ids + descriptions)", params=n_param,
@@ -143,15 +164,15 @@ def build_spec() -> dict:
         )},
         "/api/sample_cp": {"get": _json_op(
             "sampled CP test rows: ground truth label vs predicted score",
-            params=n_param, tags=["browse"],
+            params=n_param, tags=["browse"], errors=(_E404_SPLIT,),
         )},
         "/api/sample_cir": {"get": _json_op(
             "sampled CIR test rows: ground-truth target vs retrieved top-k",
-            params=n_param, tags=["browse"],
+            params=n_param, tags=["browse"], errors=(_E404_SPLIT,),
         )},
         "/api/sample_fitb": {"get": _json_op(
             "sampled FITB test rows: answer vs model pick over 4 candidates",
-            params=n_param, tags=["browse"],
+            params=n_param, tags=["browse"], errors=(_E404_SPLIT,),
         )},
         "/api/update_items": {"post": _json_op(
             "live in-place embedding refresh for existing catalog rows "
@@ -163,7 +184,7 @@ def build_spec() -> dict:
                 "required": ["item_ids", "embeddings"]},
             response={"type": "object",
                       "properties": {"updated": {"type": "integer"}}},
-            tags=["catalog"],
+            tags=["catalog"], errors=(_E400, _E404_ITEM),
         )},
         "/api/add_items": {"post": _json_op(
             "append new items into reserved spare capacity "
@@ -181,7 +202,7 @@ def build_spec() -> dict:
                 "added": {"type": "integer"},
                 "n_items": {"type": "integer"},
                 "capacity": {"type": "integer"}}},
-            tags=["catalog"],
+            tags=["catalog"], errors=(_E400,),
         )},
         "/images/{item_id}.jpg": {"get": {
             "summary": "item image (when the dataset ships images/)",
@@ -192,6 +213,9 @@ def build_spec() -> dict:
             "responses": {
                 "200": {"description": "JPEG bytes",
                         "content": {"image/jpeg": {}}},
+                "400": {"description": "non-integer image name",
+                        "content": {"application/json": {
+                            "schema": _ERROR}}},
                 "404": {"description": "no image for this id",
                         "content": {"application/json": {
                             "schema": _ERROR}}},

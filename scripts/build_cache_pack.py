@@ -47,7 +47,9 @@ def main() -> int:
     ap.add_argument(
         "--prune",
         action="store_true",
-        help="drop pack entries absent from the cache (superseded keys)",
+        help="drop pack entries absent from the cache (superseded keys); "
+        "requires a cache built with OUTFITX_CACHE_PACK=0 — refused on a "
+        "pack-seeded cache, where every pack entry looks live",
     )
     args = ap.parse_args()
 
@@ -55,29 +57,45 @@ def main() -> int:
     pack = pathlib.Path(args.pack)
     pack.mkdir(parents=True, exist_ok=True)
 
+    if args.prune and (cache / ".seeded_from_pack").exists():
+        # A seeded cache contains every pack entry by construction
+        # (enable_compilation_cache copies them in before the workload
+        # runs), so "absent from the cache" can never identify a
+        # superseded key and --prune would be a silent no-op forever —
+        # dead entries would ratchet the pack toward --max-total-mb and
+        # crowd out live ones.
+        print(
+            f"--prune refused: {cache} was seeded from a pack "
+            "(.seeded_from_pack present), so every pack entry looks "
+            "live. Rebuild the cache unseeded first:\n"
+            "  JAX_COMPILATION_CACHE_DIR=<fresh dir> OUTFITX_CACHE_PACK=0 "
+            "<run the workload>\nthen re-run with --cache-dir <fresh dir>.",
+            file=sys.stderr,
+        )
+        return 2
+
     entries = sorted(
         (f for f in cache.glob("*-cache") if not f.name.startswith("jit_chained-")),
         key=lambda f: f.stat().st_size,
     )
-    kept: list[pathlib.Path] = []
     total = sum(f.stat().st_size for f in pack.glob("*-cache"))
     copied = skipped_size = already = 0
     for f in entries:
         size = f.stat().st_size
         dst = pack / f.name
-        if dst.exists() and dst.stat().st_size == size:
-            kept.append(dst)
+        old = dst.stat().st_size if dst.exists() else 0
+        if old == size:
             already += 1
             continue
+        # `old` leaves the pack when overwritten — budget on the delta
         if size > args.max_entry_mb * 2**20 or (
-            total + size > args.max_total_mb * 2**20
+            total - old + size > args.max_total_mb * 2**20
         ):
             skipped_size += 1
             print(f"skip {f.name} ({size / 2**20:.1f} MB)")
             continue
         shutil.copyfile(f, dst)
-        kept.append(dst)
-        total += size
+        total += size - old
         copied += 1
         print(f"pack {f.name} ({size / 2**20:.1f} MB)")
 

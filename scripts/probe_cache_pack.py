@@ -14,7 +14,11 @@ paid identically in both):
   JAX_COMPILATION_CACHE_DIR=/tmp/cc_warm \
       python scripts/probe_cache_pack.py
 
-Prints one JSON line: {"ready_s": ..., "routes_s": ..., "seeded": N}.
+Prints one JSON line: {"ready_s": ..., "engine_s": ..., "routes_s": ...,
+"items": N, "seeded": N} — "seeded" is the number of pack entries copied
+into the cache, so the A/B above is self-verifying (cold run must say 0;
+a pack-seeded run saying 0 means the pack was not applied, e.g. a stale
+OUTFITX_CACHE_PACK=0 left in the environment).
 """
 
 from __future__ import annotations
@@ -36,13 +40,10 @@ def main() -> None:
     ap.add_argument("--items", type=int, default=250_000)
     args = ap.parse_args()
 
-    from outfitx_tpu.core.runtime import (
-        enable_compilation_cache,
-        retry_if_backend_down,
-    )
+    from outfitx_tpu.core import runtime
 
-    retry_if_backend_down()
-    enable_compilation_cache()
+    runtime.retry_if_backend_down()
+    runtime.enable_compilation_cache()
 
     import jax
     import numpy as np
@@ -97,6 +98,7 @@ def main() -> None:
                 "engine_s": round(ready_s - (t_build - T0), 1),
                 "routes_s": round(routes_s, 1),
                 "items": args.items,
+                "seeded": len(runtime.last_seeded),
             }
         ),
         flush=True,

@@ -40,8 +40,11 @@ def _rss_mb() -> float:
 
 
 def _pct(xs, q):
+    """Percentile, rounded; None when the window had no samples (a window
+    at saturation can end with every request of one kind errored — NaN
+    here would serialize as the bare token ``NaN``, which is not JSON)."""
     xs = sorted(xs)
-    return xs[min(len(xs) - 1, int(q * len(xs)))] if xs else float("nan")
+    return round(xs[min(len(xs) - 1, int(q * len(xs)))], 1) if xs else None
 
 
 def main() -> None:
@@ -227,8 +230,8 @@ def main() -> None:
             dur = time.perf_counter() - t0
 
             def lat(kind, q):
-                return round(
-                    _pct([r[1] * 1e3 for r in res if r[0] == kind and r[2]], q), 1
+                return _pct(
+                    [r[1] * 1e3 for r in res if r[0] == kind and r[2]], q
                 )
 
             points.append({
@@ -339,9 +342,9 @@ def main() -> None:
         lat = [r[1] * 1000 for r in results if r[0] == kind and r[2]]
         per[kind] = {
             "n": len(lat),
-            "p50_ms": round(_pct(lat, 0.50), 1),
-            "p90_ms": round(_pct(lat, 0.90), 1),
-            "p99_ms": round(_pct(lat, 0.99), 1),
+            "p50_ms": _pct(lat, 0.50),
+            "p90_ms": _pct(lat, 0.90),
+            "p99_ms": _pct(lat, 0.99),
             "max_ms": round(max(lat), 1) if lat else None,
         }
     n_err = sum(1 for r in results if not r[2])

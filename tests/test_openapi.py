@@ -31,6 +31,38 @@ def test_spec_paths_match_handler_routes():
     }
 
 
+def test_declared_error_codes_match_handler_behavior():
+    """The spec declares exactly the statuses the handler can emit per
+    route (app.make_handler: missing fields -> 400, UnknownItemError /
+    absent split -> 404, last-resort -> 500) — a generated client's error
+    model must not invent a 400 for /api/health or miss /api/similar's
+    404."""
+    paths = build_spec()["paths"]
+    declared = {
+        p: set(op["responses"])
+        for p, ops in paths.items()
+        for op in ops.values()
+    }
+    for p, codes in declared.items():
+        assert "200" in codes, p
+        if p != "/images/{item_id}.jpg":  # raw bytes path, no JSON 500 wrap
+            assert "500" in codes, p
+    # ops routes cannot reject anything
+    for p in ("/api/health", "/api/stats", "/api/openapi.json"):
+        assert not declared[p] & {"400", "404"}, p
+    # browse samplers 404 on a missing split but never 400 (bad n clamps)
+    for p in ("/api/sample_cp", "/api/sample_cir", "/api/sample_fitb"):
+        assert "404" in declared[p] and "400" not in declared[p], p
+    assert not declared["/api/sample"] & {"400", "404"}
+    # unknown item ids 404 on every id-consuming route
+    for p in ("/api/cp", "/api/cp_batch", "/api/cir", "/api/fitb",
+              "/api/similar", "/api/update_items"):
+        assert {"400", "404"} <= declared[p], p
+    # add_items only introduces ids: duplicates/capacity are 400s, never 404
+    assert "400" in declared["/api/add_items"]
+    assert "404" not in declared["/api/add_items"]
+
+
 @pytest.fixture(scope="module")
 def mock_server():
     from http.server import ThreadingHTTPServer

@@ -294,8 +294,40 @@ class TestCompilationCachePack:
         assert not (cache / "MANIFEST.tsv").exists()
         # idempotent: second seed copies nothing
         assert runtime.seed_compilation_cache(cache, pack) == []
-        # no temp droppings
-        assert not [p for p in cache.iterdir() if p.name.startswith(".")]
+        # no temp droppings — only the seeded-cache marker
+        dots = [p.name for p in cache.iterdir() if p.name.startswith(".")]
+        assert dots == [".seeded_from_pack"]
+
+    def test_unreadable_entry_skipped_not_fatal(self, tmp_path, capsys):
+        """One bad pack entry (here: a directory, so copyfile raises an
+        OSError) must not abort the process or the rest of the seeding —
+        seeding is an optimization and can never be worse than an empty
+        cache."""
+        from outfitx_tpu.core import runtime
+
+        pack = tmp_path / "pack"
+        cache = tmp_path / "cache"
+        pack.mkdir()
+        (pack / "jit_bad-0-cache").mkdir()  # IsADirectoryError on copy
+        (pack / "jit_ok-1-cache").write_bytes(b"OK")
+        seeded = runtime.seed_compilation_cache(cache, pack)
+        assert seeded == ["jit_ok-1-cache"]
+        assert (cache / "jit_ok-1-cache").read_bytes() == b"OK"
+        assert "failed to copy" in capsys.readouterr().err
+        # the failed copy left no temp droppings
+        dots = [p.name for p in cache.iterdir() if p.name.startswith(".")]
+        assert dots == [".seeded_from_pack"]
+
+    def test_env_pack_path_typo_warns_and_disables(self, tmp_path,
+                                                   monkeypatch, capsys):
+        from outfitx_tpu.core import runtime
+
+        monkeypatch.setenv("OUTFITX_CACHE_PACK", str(tmp_path / "nope"))
+        assert runtime.default_cache_pack() is None
+        assert "not a directory" in capsys.readouterr().err
+        monkeypatch.setenv("OUTFITX_CACHE_PACK", "1")  # not an on/off flag
+        assert runtime.default_cache_pack() is None
+        assert "seeding DISABLED" in capsys.readouterr().err
 
     def test_env_override_and_disable(self, tmp_path, monkeypatch):
         from outfitx_tpu.core import runtime
@@ -336,3 +368,84 @@ class TestCompilationCachePack:
         names = sorted(p.name for p in pack.glob("*-cache"))
         assert names == ["jit_small-1-cache"]  # big over cap, chained excluded
         assert "jit_small-1-cache\t100" in (pack / "MANIFEST.tsv").read_text()
+
+    def _run_build(self, cache, pack, *extra):
+        import subprocess
+        import sys
+
+        return subprocess.run(
+            [
+                sys.executable, "scripts/build_cache_pack.py",
+                "--cache-dir", str(cache), "--pack", str(pack), *extra,
+            ],
+            capture_output=True,
+            text=True,
+            cwd=str(pathlib.Path(__file__).resolve().parents[1]),
+        )
+
+    def test_prune_refused_on_seeded_cache(self, tmp_path):
+        """A pack-seeded cache contains every pack entry by construction, so
+        --prune there can never identify a superseded key — the script must
+        refuse rather than silently no-op while dead entries ratchet the
+        pack toward its size cap."""
+        from outfitx_tpu.core import runtime
+
+        pack = tmp_path / "pack"
+        pack.mkdir()
+        (pack / "jit_dead-0-cache").write_bytes(b"D")
+        cache = tmp_path / "cache"
+        runtime.seed_compilation_cache(cache, pack)
+
+        r = self._run_build(cache, pack, "--prune")
+        assert r.returncode == 2
+        assert "refused" in r.stderr
+        assert (pack / "jit_dead-0-cache").exists()  # nothing deleted
+
+        # an UNSEEDED cache (OUTFITX_CACHE_PACK=0 rebuild) prunes fine
+        fresh = tmp_path / "fresh"
+        fresh.mkdir()
+        (fresh / "jit_live-1-cache").write_bytes(b"L")
+        r = self._run_build(fresh, pack, "--prune")
+        assert r.returncode == 0, r.stderr
+        assert not (pack / "jit_dead-0-cache").exists()
+        assert (pack / "jit_live-1-cache").exists()
+
+    def test_overwrite_budgets_on_size_delta(self, tmp_path):
+        """Re-packing a recompiled key (same name, new size) must replace
+        the old copy's bytes in the total-size budget, not double-count
+        them — otherwise later valid entries are skipped as 'over caps'
+        while the pack is actually under the cap."""
+        cache = tmp_path / "cache"
+        pack = tmp_path / "pack"
+        cache.mkdir()
+        pack.mkdir()
+        # pack holds 0.9 MB under the old codegen; cache has the 0.8 MB
+        # recompile. Cap 1.0 MB: fits only if the old 0.9 leaves the budget.
+        (pack / "jit_k-1-cache").write_bytes(b"o" * int(0.9 * 2**20))
+        (cache / "jit_k-1-cache").write_bytes(b"n" * int(0.8 * 2**20))
+        r = self._run_build(cache, pack, "--max-total-mb", "1.0")
+        assert r.returncode == 0, r.stderr
+        assert "pack jit_k-1-cache" in r.stdout
+        assert (pack / "jit_k-1-cache").stat().st_size == int(0.8 * 2**20)
+
+
+class TestSoakPercentiles:
+    def test_empty_window_is_json_null_not_nan(self):
+        """A saturated thread-sweep window can end with zero successful
+        requests of a kind; the percentile must serialize as JSON null
+        (NaN is not RFC JSON and breaks the sweep's consumers)."""
+        import importlib.util
+        import json as _json
+
+        spec = importlib.util.spec_from_file_location(
+            "soak_serving",
+            pathlib.Path(__file__).resolve().parents[1]
+            / "scripts" / "soak_serving.py",
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        assert mod._pct([], 0.5) is None
+        assert mod._pct([3.14159], 0.99) == 3.1
+        assert _json.loads(_json.dumps({"p50": mod._pct([], 0.5)})) == {
+            "p50": None
+        }
