@@ -176,7 +176,17 @@ class CIRTrainer(Trainer):
         path = self.cfg.warm_start_from
         if path:
             payload = self.ckpt.restore(path)
-            self.state = self.state.replace(params=payload["params"])
+            # Re-place restored host arrays onto the live params' shardings
+            # (TP/FSDP): a plain replace() would silently re-replicate every
+            # leaf over the mesh and forfeit the sharded-memory budget.
+            params = jax.tree.map(
+                lambda live, x: jax.device_put(x, live.sharding)
+                if isinstance(live, jax.Array)
+                else x,
+                self.state.params,
+                payload["params"],
+            )
+            self.state = self.state.replace(params=params)
             self.log(f"warm-started params from {path}")
 
     # ------------------------------------------------------------ train --

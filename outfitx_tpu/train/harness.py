@@ -261,12 +261,31 @@ class Trainer(abc.ABC):
             "opt_state": self.state.opt_state,
         }
         payload = self.ckpt.restore(tag_or_path, template=template)
-        self.state = self.state.replace(params=payload["params"])
+
+        def _replace_on_live_shardings(live_tree, restored_tree):
+            # Restored leaves arrive as host arrays; re-place them onto the
+            # live tree's shardings so a TP/FSDP run resumes sharded instead
+            # of silently re-replicating params+opt_state over the mesh.
+            return jax.tree.map(
+                lambda live, x: jax.device_put(x, live.sharding)
+                if isinstance(live, jax.Array)
+                else x,
+                live_tree,
+                restored_tree,
+            )
+
+        self.state = self.state.replace(
+            params=_replace_on_live_shardings(
+                self.state.params, payload["params"]
+            )
+        )
         if payload.get("opt_state") is not None:
             import jax.numpy as jnp
 
             self.state = self.state.replace(
-                opt_state=payload["opt_state"],
+                opt_state=_replace_on_live_shardings(
+                    self.state.opt_state, payload["opt_state"]
+                ),
                 step=jnp.asarray(payload["meta"].get("step", 0), jnp.int32),
             )
         self.epoch = int(payload["meta"].get("epoch", -1)) + 1
