@@ -61,9 +61,23 @@ class PrecomputeRunner:
         params=None,
         synthetic_items: int = 0,
         encoder: Optional[ItemEncoderModel] = None,
+        n_slices: int = 1,
+        slice_index: int = 0,
     ):
         self.cfg = cfg
         self.model_cfg = model_cfg or OutfitXConfig()
+        # Catalog slicing for the sharded (multi-process) sweep: this runner
+        # only encodes items whose enumeration index i satisfies
+        # i % n_slices == slice_index, and writes them as ONE shard named
+        # with the slice index — exactly the reference's per-rank layout
+        # (precompute_embedding_script.py:35-55), which every loader already
+        # merge-globs. Each slice runs in its own child process so the axon
+        # relay's 1:1 H2D RSS leak (~150 KB/item) is freed at child exit,
+        # removing the ~800k-item single-process ceiling (BENCHMARKS.md).
+        if not (0 <= slice_index < n_slices):
+            raise ValueError(f"slice {slice_index} not in [0, {n_slices})")
+        self.n_slices = n_slices
+        self.slice_index = slice_index
         # Precompute is a frozen-tower forward sweep: route tower attention
         # blocks through the fused Pallas kernel where it measured a win
         # (text L=64: 1.19x — towers/common.py shape-guards the choice, so
@@ -95,12 +109,21 @@ class PrecomputeRunner:
 
     # ------------------------------------------------------------- data --
     def _iter_items(self) -> Iterator[Tuple[int, np.ndarray, str]]:
-        """Yields (item_id, image_uint8 (3,S,S), category_text)."""
+        """Yields this slice's (item_id, image_uint8 (3,S,S), category_text).
+
+        Slicing is round-robin over the raw item enumeration (cheap:
+        non-slice items are skipped before any image decode), so N slices
+        partition the catalog exactly."""
         size = self.encoder.image_size
         if self.synthetic_items:
-            rng = np.random.default_rng(self.cfg.seed)
             for i in range(self.synthetic_items):
-                img = rng.integers(0, 256, (3, size, size), dtype=np.uint8)
+                if i % self.n_slices != self.slice_index:
+                    continue
+                # image for item i is seeded by i, not by draw order, so a
+                # sliced sweep produces byte-identical embeddings per item
+                img = np.random.default_rng([self.cfg.seed, i]).integers(
+                    0, 256, (3, size, size), dtype=np.uint8
+                )
                 yield 10_000 + i, img, f"category {i % 13}"
             return
         dataset_dir = pathlib.Path(self.cfg.dataset_dir)
@@ -108,7 +131,9 @@ class PrecomputeRunner:
             metadata = json.load(f)
         with open(dataset_dir / "categories.json", encoding="utf-8") as f:
             categories = json.load(f)
-        for m in metadata:
+        for i, m in enumerate(metadata):
+            if i % self.n_slices != self.slice_index:
+                continue
             iid = int(m["item_id"])
             img_path = dataset_dir / "images" / f"{iid}.jpg"
             if not img_path.exists():
@@ -160,7 +185,11 @@ class PrecomputeRunner:
             self.params = self.encoder.init(jax.random.PRNGKey(self.cfg.seed))
         self.output_dir.mkdir(parents=True, exist_ok=True)
         model_name = self.model_cfg.model_name
-        shard_items = 50_000
+        # sliced mode: this slice IS shard `slice_index` (one file per
+        # slice, the reference's per-rank layout); single-process mode
+        # rolls a new shard every 50k items to bound file sizes
+        shard_items = 50_000 if self.n_slices == 1 else (1 << 62)
+        shard_base = 0 if self.n_slices == 1 else self.slice_index
         shard_idx, done = 0, 0
         cur_ids: List[np.ndarray] = []
         cur_embs: List[np.ndarray] = []
@@ -177,18 +206,28 @@ class PrecomputeRunner:
             cur_embs.append(emb)
             done += batch["n"]
             if sum(len(i) for i in cur_ids) >= shard_items:
-                self._write_shard(model_name, shard_idx, cur_ids, cur_embs)
+                self._write_shard(
+                    model_name, shard_base + shard_idx, cur_ids, cur_embs
+                )
                 shard_idx += 1
                 cur_ids, cur_embs = [], []
         if cur_ids:
-            self._write_shard(model_name, shard_idx, cur_ids, cur_embs)
+            self._write_shard(
+                model_name, shard_base + shard_idx, cur_ids, cur_embs
+            )
             shard_idx += 1
         dt = time.perf_counter() - t0
+        import resource
+
         return {
             "items": done,
             "shards": shard_idx,
             "seconds": round(dt, 2),
             "items_per_sec": round(done / max(dt, 1e-9), 1),
+            # peak RSS evidence for the sharded-sweep leak bound
+            "max_rss_mb": round(
+                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
+            ),
         }
 
     def _write_shard(self, model_name, idx, ids, embs):

@@ -127,3 +127,45 @@ class TestPrecompute:
         cat = Catalog.from_columns(metadata, emb_dict)
         assert cat.n_items == 70
         assert cat.d_embed == 96
+
+    def test_sliced_sweep_partitions_and_matches_unsliced(self, enc, tmp_path):
+        """`pes --shards N` semantics: N slice runners partition the catalog
+        exactly, write the reference per-rank shard layout
+        (precompute_embedding_script.py:35-55), and every item's embedding
+        is byte-identical to the single-process sweep."""
+        from outfitx_tpu.train.precompute import PrecomputeRunner
+
+        cfg = PrecomputeConfig(batch_size=32, dataset_dir=str(tmp_path))
+        model_cfg = OutfitXConfig(item_encoder=enc.cfg)
+        single = PrecomputeRunner(
+            cfg, model_cfg, output_dir=str(tmp_path / "one"),
+            synthetic_items=70, encoder=enc,
+        )
+        single.run()
+        for k in range(3):
+            sliced = PrecomputeRunner(
+                cfg, model_cfg, output_dir=str(tmp_path / "sliced"),
+                synthetic_items=70, encoder=enc,
+                n_slices=3, slice_index=k,
+            )
+            res = sliced.run()
+            assert res["shards"] == 1
+
+        def load_all(d):
+            out = {}
+            for p in sorted((tmp_path / d).glob("*.pkl")):
+                with open(p, "rb") as f:
+                    payload = pickle.load(f)
+                for iid, e in zip(payload["ids"], payload["embeddings"]):
+                    assert iid not in out  # slices must not overlap
+                    out[iid] = np.asarray(e)
+            return out
+
+        one, sliced_all = load_all("one"), load_all("sliced")
+        # per-rank layout: one file per slice, named by slice index
+        names = sorted(p.name for p in (tmp_path / "sliced").glob("*.pkl"))
+        prefix = f"{model_cfg.model_name}_embedding_subset_"
+        assert names == [f"{prefix}{k}.pkl" for k in range(3)]
+        assert set(one) == set(sliced_all)
+        for iid in one:
+            np.testing.assert_array_equal(one[iid], sliced_all[iid])
