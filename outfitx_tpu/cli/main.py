@@ -244,10 +244,26 @@ def original_cp(**kw):
     "--weights", default=None,
     help="HF checkpoint dir with pretrained tower weights (safetensors)",
 )
-def pes(output_dir, weights, **kw):
+@click.option(
+    "--shards", type=int, default=1,
+    help="split the sweep over N sequential child processes, each writing "
+    "shard {model}_embedding_subset_{k}.pkl (the reference per-rank "
+    "layout). Bounds parent RSS: the relay client's H2D staging leak "
+    "(~150 KB/item, BENCHMARKS.md) is freed at each child's exit, removing "
+    "the ~800k-item single-process catalog ceiling.",
+)
+@click.option(
+    "--slice-index", type=int, default=None, hidden=True,
+    help="internal: run as the child sweeping slice K of --shards",
+)
+def pes(output_dir, weights, shards, slice_index, **kw):
     """Precompute-embedding sweep over the item catalog (reference run/pes.py)."""
     from outfitx_tpu.core.config import PrecomputeConfig
     from outfitx_tpu.train.precompute import PrecomputeRunner
+
+    if shards > 1 and slice_index is None:
+        click.echo(json.dumps(_pes_sharded_parent(shards)))
+        return
 
     model_cfg = _model_cfg(kw)
     cfg = _build_cfg(PrecomputeConfig, kw)
@@ -267,9 +283,54 @@ def pes(output_dir, weights, **kw):
         output_dir=output_dir,
         params=params,
         synthetic_items=4096 if kw["synthetic"] else 0,
+        n_slices=shards,
+        slice_index=slice_index or 0,
     )
     result = runner.run()
     click.echo(json.dumps(result))
+
+
+def _pes_sharded_parent(shards: int) -> dict:
+    """Run the sweep as N sequential child processes (one per slice).
+
+    The parent never touches the device, so its RSS stays flat no matter
+    the catalog size; each child re-invokes this exact command line with
+    its hidden --slice-index and inherits every other flag unchanged.
+    """
+    import resource
+    import subprocess
+    import sys
+    import time as _time
+
+    t0 = _time.perf_counter()
+    totals = {"items": 0, "shards": 0}
+    peaks = []
+    for k in range(shards):
+        cmd = (
+            [sys.executable, "-m", "outfitx_tpu.cli"]
+            + sys.argv[1:]
+            + ["--slice-index", str(k)]
+        )
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode != 0:
+            raise click.ClickException(
+                f"pes slice {k}/{shards} failed:\n{proc.stderr[-2000:]}"
+            )
+        line = proc.stdout.strip().splitlines()[-1]
+        child = json.loads(line)
+        totals["items"] += child.get("items", 0)
+        totals["shards"] += child.get("shards", 0)
+        peaks.append(child.get("max_rss_mb"))
+    dt = _time.perf_counter() - t0
+    return {
+        **totals,
+        "seconds": round(dt, 2),
+        "items_per_sec": round(totals["items"] / max(dt, 1e-9), 1),
+        "child_max_rss_mb": peaks,
+        "parent_max_rss_mb": round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
+        ),
+    }
 
 
 @cli.command()
@@ -314,9 +375,21 @@ def pes(output_dir, weights, **kw):
     "per-shard top-k + merge (ops/retrieval_sharded.py); aggregate HBM "
     "scales with the device count",
 )
+@click.option(
+    "--max-rss-gb", type=float, default=None,
+    help="replica recycling: when host RSS exceeds this, stop accepting "
+    "connections, drain in-flight requests, and exit 81 so a supervisor "
+    "restarts the replica warm from the compile-cache pack (the relay "
+    "client leaks ~2.3 KB RSS/request — BENCHMARKS.md soak)",
+)
+@click.option(
+    "--max-age", "max_age_s", type=float, default=None,
+    help="replica recycling by wall-clock age in seconds (same drain+exit-81 "
+    "contract as --max-rss-gb)",
+)
 def demo(port, synthetic, dataset_dir, polyvore_type, checkpoint_dir, mock,
          quantized, quantize_model, exact_topk, coalesce_ms, catalog_dtype,
-         spare_capacity, shard_catalog):
+         spare_capacity, shard_catalog, max_rss_gb, max_age_s):
     """Serving demo (reference src/demo/app.py, port 6006)."""
     from outfitx_tpu.serve.app import build_engine, serve
 
@@ -328,7 +401,11 @@ def demo(port, synthetic, dataset_dir, polyvore_type, checkpoint_dir, mock,
         exact_topk=exact_topk, catalog_dtype=catalog_dtype,
         shard_catalog=shard_catalog, spare_capacity=spare_capacity,
     )
-    serve(port=port, engine=engine, mock=mock, coalesce_ms=coalesce_ms)
+    serve(
+        port=port, engine=engine, mock=mock, coalesce_ms=coalesce_ms,
+        max_rss_mb=None if max_rss_gb is None else max_rss_gb * 1024.0,
+        max_age_s=max_age_s,
+    )
 
 
 @cli.command("export-torch")

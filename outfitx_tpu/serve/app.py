@@ -474,6 +474,59 @@ def build_engine(
     )
 
 
+DRAIN_EXIT_CODE = 81  # supervisor contract: restart the replica warm
+
+
+def start_drain_watchdog(
+    httpd,
+    *,
+    max_rss_mb: Optional[float] = None,
+    max_age_s: Optional[float] = None,
+    interval_s: float = 1.0,
+) -> dict:
+    """Self-drain hook for replica recycling (DEPLOYMENT.md).
+
+    The axon relay client leaks host RSS per H2D byte (~2.3 KB/request at
+    soak, BENCHMARKS.md), so a loaded replica dies by OOM on a ~4-day
+    horizon unless recycled. This watchdog turns the operator guidance
+    ("restart on a schedule") into a mechanical hook: when RSS or age
+    crosses its limit it calls ``httpd.shutdown()`` — the accept loop
+    stops (new connections are refused; the balancer/supervisor retries
+    them on a fresh replica) while in-flight requests run to completion
+    (``daemon_threads`` is forced off so ``server_close`` joins them).
+
+    Returns a dict that gains a ``reason`` key once the drain fires.
+    """
+    import threading
+
+    # join in-flight handler threads on server_close -> graceful drain
+    httpd.daemon_threads = False
+    httpd.block_on_close = True
+    fired: dict = {}
+    t0 = time.time()
+
+    def watchdog():
+        from outfitx_tpu.serve.stats import host_rss_mb
+
+        while not fired:
+            time.sleep(interval_s)
+            rss = host_rss_mb()
+            age = time.time() - t0
+            if max_rss_mb is not None and rss > max_rss_mb:
+                fired["reason"] = (
+                    f"host RSS {rss:.0f} MB > --max-rss limit {max_rss_mb:.0f} MB"
+                )
+            elif max_age_s is not None and age > max_age_s:
+                fired["reason"] = (
+                    f"replica age {age:.0f} s > --max-age limit {max_age_s:.0f} s"
+                )
+            if fired:
+                httpd.shutdown()
+
+    threading.Thread(target=watchdog, daemon=True, name="drain-watchdog").start()
+    return fired
+
+
 def serve(
     port: int = 6006,
     *,
@@ -482,6 +535,8 @@ def serve(
     engine=None,
     poll: Optional[float] = None,
     coalesce_ms: Optional[float] = None,
+    max_rss_mb: Optional[float] = None,
+    max_age_s: Optional[float] = None,
 ):
     engine = engine or build_engine(synthetic=synthetic, mock=mock)
     coalescers = []
@@ -505,12 +560,25 @@ def serve(
         ("0.0.0.0", port),
         make_handler(engine, cp_scorer, cir_retriever, sim_retriever),
     )
-    print(f"OutfitX-TPU demo on http://0.0.0.0:{port} (mock={mock})")
+    drained: dict = {}
+    if max_rss_mb is not None or max_age_s is not None:
+        drained = start_drain_watchdog(
+            httpd, max_rss_mb=max_rss_mb, max_age_s=max_age_s
+        )
+    print(f"OutfitX-TPU demo on http://0.0.0.0:{httpd.server_port} (mock={mock})")
     try:
         httpd.serve_forever(poll_interval=poll or 0.5)
     except KeyboardInterrupt:
         pass
     finally:
-        httpd.server_close()
+        httpd.server_close()  # joins in-flight threads when draining
         for c in coalescers:
             c.close()
+    if drained:
+        # exit nonzero so a supervisor restarts the replica warm from the
+        # compile-cache pack; in-flight requests completed above
+        print(
+            json.dumps({"drain": drained["reason"], "exit": DRAIN_EXIT_CODE}),
+            flush=True,
+        )
+        raise SystemExit(DRAIN_EXIT_CODE)

@@ -105,7 +105,8 @@ def build_spec() -> dict:
         )},
         "/api/stats": {"get": _json_op(
             "per-route request counts / latency percentiles / error totals "
-            "+ engine catalog occupancy",
+            "+ engine catalog occupancy + host RSS/uptime (the replica-"
+            "recycling signals consumed by --max-rss-gb/--max-age)",
             tags=["ops"],
         )},
         "/api/openapi.json": {"get": _json_op(
@@ -217,6 +218,12 @@ def build_spec() -> dict:
                         "content": {"application/json": {
                             "schema": _ERROR}}},
                 "404": {"description": "no image for this id",
+                        "content": {"application/json": {
+                            "schema": _ERROR}}},
+                # The _timed last-resort wrap (app.py) applies to this route
+                # too: an image deleted between is_file and read_bytes yields
+                # a JSON-wrapped 500, same as every other route.
+                "500": {"description": "unexpected server error",
                         "content": {"application/json": {
                             "schema": _ERROR}}},
             },

@@ -27,6 +27,27 @@ def _pct(sorted_ms, q: float):
     return round(sorted_ms[min(len(sorted_ms) - 1, int(q * len(sorted_ms)))], 2)
 
 
+def host_rss_mb() -> float:
+    """This process's resident set in MB (Linux /proc; ru_maxrss-peak
+    fallback elsewhere).
+
+    Exposed in `/api/stats` because the axon relay client leaks host RSS
+    1:1 with bytes staged H2D (BENCHMARKS.md soak: ~2.3 KB/request), so a
+    replica's RSS is the operational signal for when to recycle it —
+    see ``serve(max_rss_mb=...)`` for the mechanical hook.
+    """
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return round(int(line.split()[1]) / 1024, 1)
+    except OSError:
+        pass
+    import resource
+
+    return round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
+
+
 class ServerStats:
     """Per-route counters + rolling latency window.
 
@@ -57,6 +78,7 @@ class ServerStats:
             }
         out = {
             "uptime_s": round(time.time() - self._t0, 1),
+            "host_rss_mb": host_rss_mb(),
             "total_requests": sum(n for n, _, _ in routes.values()),
             "total_errors": sum(err for _, err, _ in routes.values()),
             "routes": {

@@ -1417,3 +1417,63 @@ class TestBf16Catalog:
         sa = {it["item_id"] for it in f32.similar_items(outfit[0], k=10)}
         sb = {it["item_id"] for it in bf16.similar_items(outfit[0], k=10)}
         assert len(sa & sb) >= 8
+
+
+class TestReplicaRecycling:
+    """The --max-rss-gb/--max-age self-drain hook (serve/app.py
+    start_drain_watchdog): the watchdog stops the accept loop, in-flight
+    requests complete, and the process exits DRAIN_EXIT_CODE so a
+    supervisor restarts the replica warm."""
+
+    def test_stats_expose_recycling_signals(self, engine):
+        from outfitx_tpu.serve.stats import ServerStats, host_rss_mb
+
+        snap = ServerStats().snapshot(engine)
+        assert snap["host_rss_mb"] > 10.0  # a real python process
+        assert snap["uptime_s"] >= 0.0
+        assert host_rss_mb() == pytest.approx(snap["host_rss_mb"], rel=0.5)
+
+    def test_age_drain_fires_and_requests_complete(self, engine):
+        import time
+        from http.server import ThreadingHTTPServer
+
+        from outfitx_tpu.serve.app import make_handler, start_drain_watchdog
+
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(engine))
+        port = httpd.server_address[1]
+        fired = start_drain_watchdog(httpd, max_age_s=1.0, interval_s=0.1)
+        assert httpd.daemon_threads is False  # drain joins in-flight
+        t = threading.Thread(target=httpd.serve_forever)
+        t.start()
+        # traffic before the drain must succeed
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/health", timeout=5
+        ) as r:
+            assert json.loads(r.read())["ok"]
+        t.join(timeout=30)
+        assert not t.is_alive(), "drain watchdog never stopped the server"
+        assert "age" in fired["reason"]
+        httpd.server_close()
+        # post-drain: connections are refused (supervisor's restart signal)
+        with pytest.raises(OSError):
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/api/health", timeout=2
+            )
+
+    def test_rss_drain_threshold(self, engine):
+        from http.server import ThreadingHTTPServer
+
+        from outfitx_tpu.serve.app import make_handler, start_drain_watchdog
+        from outfitx_tpu.serve.stats import host_rss_mb
+
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(engine))
+        # limit set below current RSS -> fires on the first check
+        fired = start_drain_watchdog(
+            httpd, max_rss_mb=max(1.0, host_rss_mb() / 2), interval_s=0.05
+        )
+        t = threading.Thread(target=httpd.serve_forever)
+        t.start()
+        t.join(timeout=30)
+        assert not t.is_alive()
+        assert "RSS" in fired["reason"]
+        httpd.server_close()
