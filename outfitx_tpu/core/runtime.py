@@ -12,6 +12,10 @@ _cache_enabled = False
 # lets probes (scripts/probe_cache_pack.py) report whether seeding
 # actually happened in an A/B cold-start comparison.
 last_seeded: list[str] = []
+# pack entries skipped because the cache dir already held them — lets the
+# probe tell "pack not applied" (seeded=0, present=0) apart from "warm cache
+# dir reused" (seeded=0, present>0)
+last_already_present: int = 0
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
@@ -115,11 +119,14 @@ def seed_compilation_cache(
     # scripts/build_cache_pack.py refuses --prune against it (pruning must
     # run on a cache rebuilt with OUTFITX_CACHE_PACK=0).
     (cache / ".seeded_from_pack").write_text(str(pack) + "\n")
+    global last_already_present
+    last_already_present = 0
     seeded: list[str] = []
     failed = 0
     for src in sorted(pack.glob("*-cache")):
         dst = cache / src.name
         if dst.exists():
+            last_already_present += 1
             continue
         fd, tmp = tempfile.mkstemp(dir=cache, prefix=f".{src.name}.")
         os.close(fd)

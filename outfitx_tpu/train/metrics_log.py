@@ -12,9 +12,13 @@ replicated).
 from __future__ import annotations
 
 import json
+import logging
+import os
 import pathlib
 import time
 from typing import Dict, Optional
+
+log = logging.getLogger(__name__)
 
 
 class MetricsLogger:
@@ -22,16 +26,31 @@ class MetricsLogger:
         self.path = pathlib.Path(log_dir) / f"{run_name}_metrics.jsonl"
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self._f = open(self.path, "a")
-        self._wandb = None
-        try:  # optional wandb attach
-            import os
+        self._wandb = self._attach_wandb(run_name)
 
-            if os.environ.get("WANDB_API_KEY"):
-                import wandb
+    @staticmethod
+    def _attach_wandb(run_name: str):
+        """Attach the optional wandb sink; a failed attach warns, never raises.
 
-                self._wandb = wandb.init(project="outfitx-tpu", name=run_name)
-        except Exception:
-            self._wandb = None
+        The attach is opt-in via WANDB_API_KEY. Failure modes are narrowed so a
+        typo or API change can't silently disable the reference-parity metric
+        sink (distributed_trainer.py:256-264): a missing package is expected and
+        logged at debug, anything else (init failure, auth, API drift) warns
+        loudly. JSONL remains the always-on sink either way.
+        """
+        if not os.environ.get("WANDB_API_KEY"):
+            return None
+        try:
+            import wandb
+        except ImportError:
+            log.debug("WANDB_API_KEY set but the wandb package is unavailable")
+            return None
+        try:
+            return wandb.init(project="outfitx-tpu", name=run_name)
+        except Exception as e:  # noqa: BLE001 - wandb.init raises library-specific types
+            log.warning("wandb attach failed (%s: %s); metrics go to JSONL only",
+                        type(e).__name__, e)
+            return None
 
     def log(
         self, split: str, epoch: int, metrics: Dict[str, float], step: Optional[int] = None

@@ -78,6 +78,17 @@ def main() -> int:
         (f for f in cache.glob("*-cache") if not f.name.startswith("jit_chained-")),
         key=lambda f: f.stat().st_size,
     )
+    pruned = 0
+    if args.prune:
+        # Prune BEFORE admitting new entries: dead entries must not count
+        # toward --max-total-mb in the very invocation meant to free space,
+        # or live cache entries get skipped as "over caps" until a second run.
+        live = {f.name for f in entries}
+        for f in pack.glob("*-cache"):
+            if f.name not in live:
+                print(f"prune {f.name}")
+                f.unlink()
+                pruned += 1
     total = sum(f.stat().st_size for f in pack.glob("*-cache"))
     copied = skipped_size = already = 0
     for f in entries:
@@ -99,13 +110,6 @@ def main() -> int:
         copied += 1
         print(f"pack {f.name} ({size / 2**20:.1f} MB)")
 
-    if args.prune:
-        live = {f.name for f in entries}
-        for f in pack.glob("*-cache"):
-            if f.name not in live:
-                print(f"prune {f.name}")
-                f.unlink()
-
     manifest = pack / "MANIFEST.tsv"
     rows = sorted(pack.glob("*-cache"), key=lambda f: f.name)
     with manifest.open("w") as out:
@@ -114,7 +118,8 @@ def main() -> int:
             out.write(f"{f.name}\t{f.stat().st_size}\n")
     print(
         f"pack: {len(rows)} entries, {sum(f.stat().st_size for f in rows) / 2**20:.1f}"
-        f" MB total ({copied} new, {already} unchanged, {skipped_size} over caps)"
+        f" MB total ({copied} new, {already} unchanged, {skipped_size} over caps,"
+        f" {pruned} pruned)"
     )
     return 0
 

@@ -15,10 +15,14 @@ paid identically in both):
       python scripts/probe_cache_pack.py
 
 Prints one JSON line: {"ready_s": ..., "engine_s": ..., "routes_s": ...,
-"items": N, "seeded": N} — "seeded" is the number of pack entries copied
-into the cache, so the A/B above is self-verifying (cold run must say 0;
-a pack-seeded run saying 0 means the pack was not applied, e.g. a stale
-OUTFITX_CACHE_PACK=0 left in the environment).
+"items": N, "seeded": N, "pack_already_present": N} — "seeded" is the
+number of pack entries copied into the cache, so the A/B above is
+self-verifying: the cold run must say seeded=0, pack_already_present=0.
+A pack-seeded run saying seeded=0 AND pack_already_present=0 means the
+pack was not applied (e.g. a stale OUTFITX_CACHE_PACK=0 left in the
+environment); seeded=0 with pack_already_present>0 just means the cache
+dir was reused and is already warm — a correctly warm replica, not a
+seeding failure.
 """
 
 from __future__ import annotations
@@ -99,6 +103,7 @@ def main() -> None:
                 "routes_s": round(routes_s, 1),
                 "items": args.items,
                 "seeded": len(runtime.last_seeded),
+                "pack_already_present": runtime.last_already_present,
             }
         ),
         flush=True,

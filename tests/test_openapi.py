@@ -45,8 +45,9 @@ def test_declared_error_codes_match_handler_behavior():
     }
     for p, codes in declared.items():
         assert "200" in codes, p
-        if p != "/images/{item_id}.jpg":  # raw bytes path, no JSON 500 wrap
-            assert "500" in codes, p
+        # every route, including the raw-bytes image route, falls through to
+        # _timed's JSON-wrapped last-resort 500 (app.py)
+        assert "500" in codes, p
     # ops routes cannot reject anything
     for p in ("/api/health", "/api/stats", "/api/openapi.json"):
         assert not declared[p] & {"400", "404"}, p

@@ -108,6 +108,61 @@ class TestMetricsLogger:
         assert lines[1]["auc"] == 0.9
         assert all("ts" in rec for rec in lines)
 
+    def test_wandb_attach_flows_metrics(self, tmp_path, monkeypatch):
+        """With WANDB_API_KEY set and a working wandb, metrics reach the run."""
+        import sys
+        import types
+
+        calls = []
+
+        class FakeRun:
+            def log(self, metrics, step=None):
+                calls.append((metrics, step))
+
+            def finish(self):
+                calls.append("finished")
+
+        fake = types.ModuleType("wandb")
+        fake.init = lambda project, name: FakeRun()
+        monkeypatch.setitem(sys.modules, "wandb", fake)
+        monkeypatch.setenv("WANDB_API_KEY", "k")
+        ml = MetricsLogger(tmp_path, "runw")
+        ml.log("valid", 3, {"auc": 0.8})
+        ml.close()
+        assert calls[0] == ({"auc/valid/epoch": 0.8}, None)
+        assert calls[-1] == "finished"
+
+    def test_wandb_attach_failure_warns_and_jsonl_survives(
+        self, tmp_path, monkeypatch, caplog
+    ):
+        """A broken wandb.init logs a warning; the JSONL sink still works."""
+        import logging
+        import sys
+        import types
+
+        fake = types.ModuleType("wandb")
+
+        def boom(project, name):
+            raise RuntimeError("api drift")
+
+        fake.init = boom
+        monkeypatch.setitem(sys.modules, "wandb", fake)
+        monkeypatch.setenv("WANDB_API_KEY", "k")
+        with caplog.at_level(logging.WARNING, logger="outfitx_tpu.train.metrics_log"):
+            ml = MetricsLogger(tmp_path, "runf")
+        assert ml._wandb is None
+        assert any("wandb attach failed" in r.message for r in caplog.records)
+        ml.log("train", 0, {"loss": 2.0})
+        ml.close()
+        rec = json.loads((tmp_path / "runf_metrics.jsonl").read_text().splitlines()[0])
+        assert rec["loss"] == 2.0
+
+    def test_no_key_means_no_attach(self, tmp_path, monkeypatch):
+        monkeypatch.delenv("WANDB_API_KEY", raising=False)
+        ml = MetricsLogger(tmp_path, "runn")
+        assert ml._wandb is None
+        ml.close()
+
 
 class TestPerStepLogging:
     def test_cp_trainer_batch_stream(self, tmp_path):
