@@ -256,7 +256,11 @@ def original_cp(**kw):
     "--slice-index", type=int, default=None, hidden=True,
     help="internal: run as the child sweeping slice K of --shards",
 )
-def pes(output_dir, weights, shards, slice_index, **kw):
+@click.option(
+    "--synthetic-items", type=int, default=4096,
+    help="catalog size for --synthetic sweeps (scale tests / leak probes)",
+)
+def pes(output_dir, weights, shards, slice_index, synthetic_items, **kw):
     """Precompute-embedding sweep over the item catalog (reference run/pes.py)."""
     from outfitx_tpu.core.config import PrecomputeConfig
     from outfitx_tpu.train.precompute import PrecomputeRunner
@@ -282,7 +286,7 @@ def pes(output_dir, weights, shards, slice_index, **kw):
         model_cfg,
         output_dir=output_dir,
         params=params,
-        synthetic_items=4096 if kw["synthetic"] else 0,
+        synthetic_items=synthetic_items if kw["synthetic"] else 0,
         n_slices=shards,
         slice_index=slice_index or 0,
     )
