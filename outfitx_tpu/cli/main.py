@@ -151,7 +151,13 @@ def cp(**kw):
 @common_options
 @click.option("--warm-start-from", default=None, help="CP checkpoint path")
 @click.option("--switch-to-hard-epoch", type=int, default=None)
-def cir(warm_start_from, switch_to_hard_epoch, **kw):
+@click.option(
+    "--pool-threshold", type=int, default=None,
+    help="large-category eligibility threshold for retrieval eval "
+    "(default: candidate_pool_size=3000, the reference rule; small "
+    "datasets need a lower bar or no outfit yields eval queries)",
+)
+def cir(warm_start_from, switch_to_hard_epoch, pool_threshold, **kw):
     """Complementary-item-retrieval training/eval (reference run/cir.py)."""
     from outfitx_tpu.train.cir_trainer import CIRTrainer
 
@@ -161,6 +167,8 @@ def cir(warm_start_from, switch_to_hard_epoch, **kw):
         extra["switch_to_hard_epoch"] = switch_to_hard_epoch
     cfg = _build_cfg(CIRTrainConfig, kw, **extra)
     kwargs = {}
+    if pool_threshold is not None:
+        kwargs["pool_threshold"] = pool_threshold
     if kw["synthetic"]:
         data = _synth(model_cfg)
         kwargs = dict(

@@ -105,9 +105,15 @@ class CIRTrainer(Trainer):
                 "train", self.model_cfg.max_outfit_len,
             )
             eval_mode = "test" if self.run_mode == "test" else "valid"
+            # the positive-eligibility rule shares the pool threshold: a
+            # lowered --pool-threshold (small datasets) must free BOTH the
+            # pool build and the eval-query eligibility, or every eval
+            # query dies on the 3000-item large-category rule and recall
+            # is NaN (default equals the reference's 3000 either way)
             self._valid_split = OutfitSplit.load(
                 self._catalog, self.cfg.dataset_dir, self.cfg.polyvore_type,
                 eval_mode, self.model_cfg.max_outfit_len,
+                large_category_threshold=self.pool_threshold,
             )
         self.catalog_dev = jnp.asarray(self._catalog.embeddings)
         self._samplers = {

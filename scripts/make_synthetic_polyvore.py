@@ -39,12 +39,14 @@ def generate(
     model_name: str = "outfitx-tpu-siglip-d1536",
     seed: int = 0,
     image_size: int = 0,  # >0: also write images/{id}.jpg at this size
+    image_items: int = 0,  # >0: write images for only the first N items
 ):
     import types
 
     args = types.SimpleNamespace(
         items=items, d_embed=d_embed, outfits=outfits,
         model_name=model_name, seed=seed, image_size=image_size,
+        image_items=image_items,
     )
     rng = np.random.default_rng(args.seed)
     out = pathlib.Path(out)
@@ -151,7 +153,13 @@ def generate(
 
         (out / "images").mkdir(exist_ok=True)
         s_img = args.image_size
-        for i in range(n):
+        # image_items bounds the jpg count: precompute sweeps only items
+        # WITH images, so a smoke run can exercise the image->tower path
+        # on a slice while training uses the full planted-embedding catalog
+        n_img = n if not getattr(args, "image_items", 0) else min(
+            n, args.image_items
+        )
+        for i in range(n_img):
             # style-colored noise so the image carries the planted signal
             base = np.full((s_img, s_img, 3), 0, dtype=np.int16)
             base[..., 0] = int(80 + 170 * (item_style[i] / n_styles))
@@ -177,12 +185,14 @@ def main() -> None:
     ap.add_argument("--model-name", default="outfitx-tpu-siglip-d1536")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--image-size", type=int, default=0)
+    ap.add_argument("--image-items", type=int, default=0)
     args = ap.parse_args()
     generate(
         args.out, items=args.items, d_embed=args.d_embed,
         outfits=args.outfits, cir_outfits=args.cir_outfits,
         categories=args.categories, model_name=args.model_name,
         seed=args.seed, image_size=args.image_size,
+        image_items=args.image_items,
     )
 
 
