@@ -51,11 +51,29 @@ def main() -> int:
         "requires a cache built with OUTFITX_CACHE_PACK=0 — refused on a "
         "pack-seeded cache, where every pack entry looks live",
     )
+    ap.add_argument(
+        "--no-canary", action="store_true",
+        help="skip compiling the freshness canary into the cache first "
+        "(scripts/probe_pack_freshness.py then cannot version-check the "
+        "resulting pack)",
+    )
     args = ap.parse_args()
 
     cache = pathlib.Path(args.cache_dir)
     pack = pathlib.Path(args.pack)
     pack.mkdir(parents=True, exist_ok=True)
+
+    if not args.no_canary:
+        # Stamp the pack with the current compiler-service version: the
+        # canary entry's cache key embeds it, so probe_pack_freshness can
+        # later tell a fresh pack from one built against an older service.
+        sys.path.insert(0, str(pathlib.Path(__file__).parent))
+        from probe_pack_freshness import compile_canary
+
+        try:
+            compile_canary(cache)
+        except Exception as e:  # noqa: BLE001 — the snapshot is still valid
+            print(f"canary compile skipped ({e})", file=sys.stderr)
 
     if args.prune and (cache / ".seeded_from_pack").exists():
         # A seeded cache contains every pack entry by construction

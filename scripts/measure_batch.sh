@@ -29,9 +29,13 @@ run drive      900  python scripts/verify_drive.py
 run tpu_smoke  1500 python scripts/tpu_smoke.py
 run bench_pin  1800 python bench.py
 run soak       3600 python scripts/soak_serving.py --minutes 10
+# Freshness first: if the remote compiler service changed version since
+# the pack was built (canary cache-key miss), rebuild the pack from this
+# batch's warm cache — a stale pack must be flagged, never silent.
+run pack_fresh 900  python scripts/probe_pack_freshness.py --refresh
 # Refresh the committed warm-start pack from whatever this batch compiled
 # (no --prune: a partial batch must not evict still-valid entries).
-run cache_pack 300  python scripts/build_cache_pack.py
+run cache_pack 600  python scripts/build_cache_pack.py
 
 # Two complete envelope campaigns are already committed (BENCHMARKS.md);
 # a third only re-proves the same thing, so the campaign is opt-in now.

@@ -414,6 +414,7 @@ class TestCompilationCachePack:
                 "--cache-dir", str(cache),
                 "--pack", str(pack),
                 "--max-entry-mb", "1",
+                "--no-canary",  # a real device compile has no place here
             ],
             capture_output=True,
             text=True,
@@ -431,7 +432,8 @@ class TestCompilationCachePack:
         return subprocess.run(
             [
                 sys.executable, "scripts/build_cache_pack.py",
-                "--cache-dir", str(cache), "--pack", str(pack), *extra,
+                "--cache-dir", str(cache), "--pack", str(pack),
+                "--no-canary", *extra,
             ],
             capture_output=True,
             text=True,
