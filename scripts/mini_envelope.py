@@ -43,9 +43,26 @@ def main() -> None:
     ap.add_argument("--switch", type=int, default=150)
     ap.add_argument("--ckpt-dir", default="/tmp/mini_envelope_ckpt")
     ap.add_argument("--log-dir", default="/tmp/mini_envelope_logs")
+    ap.add_argument(
+        "--mesh-data", type=int, default=1,
+        help="data-axis size: >1 runs the WHOLE horizon through the real "
+        "trainers on a fake multi-device CPU mesh (DP/FSDP)",
+    )
+    ap.add_argument("--mesh-model", type=int, default=1,
+                    help="tensor-parallel axis size")
+    ap.add_argument("--fsdp", action="store_true",
+                    help="shard layer weights over the data axis too")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    n_dev = max(1, args.mesh_data) * max(1, args.mesh_model)
+    if n_dev > 1 and "xla_force_host_platform_device_count" not in os.environ.get(
+        "XLA_FLAGS", ""
+    ):
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={n_dev}"
+        ).strip()
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -57,6 +74,7 @@ def main() -> None:
         CPTrainConfig,
         FITBTrainConfig,
         ItemEncoderConfig,
+        MeshConfig,
         OutfitXConfig,
         TransformerConfig,
     )
@@ -87,10 +105,20 @@ def main() -> None:
         shutil.rmtree(d, ignore_errors=True)
         pathlib.Path(d).mkdir(parents=True)
 
-    report: dict = {"model": "tiny d=64 (schedule semantics, not quality)"}
+    report: dict = {
+        "model": "tiny d=64 (schedule semantics, not quality)",
+        "mesh": {
+            "data": args.mesh_data, "model": args.mesh_model,
+            "fsdp": bool(args.fsdp),
+        },
+    }
 
     # ---------------------------------------------------------- CP 200 --
+    mesh_cfg = MeshConfig(
+        data=args.mesh_data, model=args.mesh_model, fsdp=args.fsdp
+    )
     cp_cfg = CPTrainConfig(
+        mesh=mesh_cfg,
         n_epochs=args.cp_epochs,
         batch_size=256,
         accumulation_steps=4,  # exercise the reference's accumulation
@@ -138,6 +166,7 @@ def main() -> None:
 
     # --------------------------------------------------------- CIR 300 --
     cir_cfg = CIRTrainConfig(
+        mesh=mesh_cfg,
         n_epochs=args.cir_epochs,
         batch_size=256,
         switch_to_hard_epoch=args.switch,
@@ -206,6 +235,7 @@ def main() -> None:
 
     # ------------------------------------------------------------ FITB --
     fitb_cfg = FITBTrainConfig(
+        mesh=mesh_cfg,
         checkpoint_dir=args.ckpt_dir,
         log_dir=args.log_dir,
         checkpoint_from=str(ckpt_best),

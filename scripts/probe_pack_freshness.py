@@ -58,6 +58,11 @@ CANARY_PREFIX = "jit_outfitx_pack_canary_v1-"
 _CANARY_CODE = r"""
 import os
 import jax
+# honor an explicit JAX_PLATFORMS even under a jax-importing sitecustomize
+# (same reason as core/runtime.force_platform_from_env) — lets the CPU
+# test suite drive this child without touching the TPU
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_compilation_cache_dir", os.environ["OUTFITX_CANARY_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import numpy as np
