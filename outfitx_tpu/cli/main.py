@@ -167,16 +167,18 @@ def cir(warm_start_from, switch_to_hard_epoch, pool_threshold, **kw):
         extra["switch_to_hard_epoch"] = switch_to_hard_epoch
     cfg = _build_cfg(CIRTrainConfig, kw, **extra)
     kwargs = {}
-    if pool_threshold is not None:
-        kwargs["pool_threshold"] = pool_threshold
     if kw["synthetic"]:
         data = _synth(model_cfg)
         kwargs = dict(
             catalog=data.catalog,
             train_split=data.cir_train,
             valid_split=data.cir_valid,
-            pool_threshold=1,
+            pool_threshold=1,  # tiny generated catalog default
         )
+    # an explicit --pool-threshold wins in BOTH modes (set after the
+    # synthetic block so it is never silently overwritten)
+    if pool_threshold is not None:
+        kwargs["pool_threshold"] = pool_threshold
     with CIRTrainer(cfg, model_cfg, _resolve_mode(kw), **kwargs) as t:
         t.profile_dir = kw["profile_dir"]
         if kw["resume"]:

@@ -146,7 +146,7 @@ def main() -> int:
             proc = subprocess.run(
                 [sys.executable,
                  str(REPO / "scripts" / "build_cache_pack.py"),
-                 "--cache-dir", str(cache)],
+                 "--cache-dir", str(cache), "--pack", str(pack)],
                 capture_output=True, text=True,
             )
             refreshed = proc.returncode == 0

@@ -108,25 +108,24 @@ def check_tokenizer(towers: pathlib.Path, encoder: str) -> dict:
     }
 
 
-def check_shards(ds: pathlib.Path, model_name: str, d_expected: int) -> dict:
+def check_shards(
+    shard_dir: pathlib.Path, ds: pathlib.Path, model_name: str,
+    d_expected: int,
+) -> dict:
     import pickle
 
-    import numpy as np
-
-    shards = sorted(
-        (ds / "precomputed_embeddings").glob(
-            f"{model_name}_embedding_subset_*.pkl"
-        )
-    )
+    shards = sorted(shard_dir.glob(f"{model_name}_embedding_subset_*.pkl"))
     if not shards:
-        return {"ok": False, "detail": "no shards written"}
+        return {"ok": False, "detail": f"no shards under {shard_dir}"}
     n_total, d = 0, None
-    for s in shards:
-        with open(s, "rb") as f:
+    for sh in shards:
+        # pickle must load the whole payload either way; count by ids and
+        # drop it immediately so at most one shard is resident
+        with open(sh, "rb") as f:
             payload = pickle.load(f)
-        emb = np.asarray(payload["embeddings"])
-        n_total += emb.shape[0]
-        d = emb.shape[1]
+        n_total += len(payload["ids"])
+        d = payload["embeddings"].shape[1]
+        del payload
     with open(ds / "item_metadata.json") as f:
         meta = json.load(f)
     n_images = sum(
@@ -144,8 +143,8 @@ def check_shards(ds: pathlib.Path, model_name: str, d_expected: int) -> dict:
 
 
 def check_hf_cosine(
-    ds: pathlib.Path, towers: pathlib.Path, model_name: str, encoder: str,
-    n_check: int = 8,
+    shard_dir: pathlib.Path, ds: pathlib.Path, towers: pathlib.Path,
+    model_name: str, encoder: str, n_check: int = 8,
 ) -> dict:
     """§2 spot-check: cosine(our image embedding, HF torch embedding) >=
     0.99 on sample items — catches checkpoint-file mix-ups. Runs only when
@@ -171,9 +170,7 @@ def check_hf_cosine(
         model = CLIPVisionModelWithProjection.from_pretrained(str(towers))
         model.eval()
         shard = sorted(
-            (ds / "precomputed_embeddings").glob(
-                f"{model_name}_embedding_subset_*.pkl"
-            )
+            shard_dir.glob(f"{model_name}_embedding_subset_*.pkl")
         )[0]
         with open(shard, "rb") as f:
             payload = pickle.load(f)
@@ -292,14 +289,13 @@ def main() -> None:
             pes_args += ["--shards", str(args.pes_shards)]
         results["steps"]["pes"] = run_cli(pes_args)
         results["steps"]["shards"] = check_shards(
-            pes_out.parent if pes_out.name == "precomputed_embeddings" else ds,
-            model_name, model_cfg.d_embed,
-        ) if not args.smoke else _smoke_shard_check(
             pes_out, ds, model_name, model_cfg.d_embed
         )
         if args.weights:
+            # spot-check the TOWER-computed shards (in smoke these live in
+            # the pes_check side dir; training keeps the planted shards)
             results["steps"]["hf_cosine"] = check_hf_cosine(
-                ds if not args.smoke else ds, pathlib.Path(args.weights),
+                pes_out, ds, pathlib.Path(args.weights),
                 model_name, args.encoder,
             )
 
@@ -377,29 +373,6 @@ def main() -> None:
         if isinstance(step, dict) and "skipped" not in step
     )
     _finish(args.out, results, t0, ok=pipeline_ok)
-
-
-def _smoke_shard_check(pes_out, ds, model_name, d_expected) -> dict:
-    """Smoke: shards live in a side dir (training keeps the planted
-    synthetic shards) — run the same checks against that dir."""
-    import types
-
-    fake_ds = types.SimpleNamespace()
-    # reuse check_shards by symlinking the expected layout
-    side = pes_out.parent / "pes_check_ds"
-    (side / "precomputed_embeddings").mkdir(parents=True, exist_ok=True)
-    for f in pes_out.glob("*.pkl"):
-        target = side / "precomputed_embeddings" / f.name
-        if not target.exists():
-            target.symlink_to(f)
-    meta = side / "item_metadata.json"
-    if not meta.exists():
-        meta.symlink_to(ds / "item_metadata.json")
-    img = side / "images"
-    if not img.exists():
-        img.symlink_to(ds / "images")
-    del fake_ds
-    return check_shards(side, model_name, d_expected)
 
 
 def _finish(out_path, results, t0, *, ok: bool) -> None:

@@ -45,10 +45,16 @@ def start_replica(port: int, max_age: float, mock: bool) -> subprocess.Popen:
     ]
     if mock:
         cmd.append("--mock")
-    return subprocess.Popen(
-        cmd, cwd=str(REPO), stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT, text=True,
+    # child output goes to a FILE, not a pipe: a chatty replica (verbose
+    # warmup warnings, a long crash traceback) would fill a 64 KB pipe
+    # buffer and block, and proc.wait() here would then hang forever
+    log = open("/tmp/soak_recycle_replica.log", "ab")
+    proc = subprocess.Popen(
+        cmd, cwd=str(REPO), stdout=log, stderr=subprocess.STDOUT,
     )
+    proc._log_path = "/tmp/soak_recycle_replica.log"  # for error reporting
+    log.close()  # the child holds its own fd
+    return proc
 
 
 def wait_ready(port: int, timeout: float = 600.0) -> None:
@@ -123,7 +129,9 @@ def main() -> None:
             rc = proc.wait()  # replica runs until its max-age drain
             exit_codes.append(rc)
             if rc != DRAIN_EXIT_CODE:
-                out = proc.stdout.read() if proc.stdout else ""
+                out = pathlib.Path(proc._log_path).read_text(
+                    errors="replace"
+                )
                 raise SystemExit(
                     f"replica exited {rc}, expected drain code "
                     f"{DRAIN_EXIT_CODE}:\n{out[-2000:]}"

@@ -85,17 +85,23 @@ class TestShardCheck:
 
     def test_matching_counts_pass(self, tmp_path):
         self._write_ds(tmp_path, n_items=10, d=16, n_images=7)
-        r = check_shards(tmp_path, "m", d_expected=16)
+        r = check_shards(
+            tmp_path / "precomputed_embeddings", tmp_path, "m", d_expected=16
+        )
         assert r["ok"] and r["n_embeddings"] == 7 == r["n_items_with_images"]
 
     def test_dim_mismatch_fails(self, tmp_path):
         self._write_ds(tmp_path, n_items=4, d=16, n_images=4)
-        r = check_shards(tmp_path, "m", d_expected=32)
+        r = check_shards(
+            tmp_path / "precomputed_embeddings", tmp_path, "m", d_expected=32
+        )
         assert not r["ok"]
 
     def test_no_shards_fails(self, tmp_path):
         (tmp_path / "precomputed_embeddings").mkdir()
-        r = check_shards(tmp_path, "m", d_expected=16)
+        r = check_shards(
+            tmp_path / "precomputed_embeddings", tmp_path, "m", d_expected=16
+        )
         assert not r["ok"]
 
 
