@@ -20,7 +20,10 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from jax.sharding import PartitionSpec as P
+
 from outfitx_tpu.core.config import CPTrainConfig, OutfitXConfig
+from outfitx_tpu.core.mesh import constrain
 from outfitx_tpu.evalm import binary_classification_metrics
 from outfitx_tpu.losses import focal_loss
 from outfitx_tpu.models import OutfitXModel
@@ -173,6 +176,16 @@ class OriginalCPTrainer(Trainer):
         self.tx = make_optimizer(
             self.cfg.optimizer, steps_per_epoch * self.cfg.n_epochs
         )
+        # TP/FSDP specs apply to the set-transformer subtree; the tiny
+        # trainable encoder heads (and the frozen towers) stay replicated —
+        # the towers' FLOPs are DP-sharded by the batch constraint in
+        # `_build_steps`, which is where the win is at this model's scale.
+        self.init_params = {
+            "model": self.shard_model_params(
+                self.model, self.init_params["model"]
+            ),
+            "enc_heads": self.init_params["enc_heads"],
+        }
         self.state = TrainState.create(self.init_params, self.tx, self.init_rng)
         self._build_steps()
 
@@ -201,6 +214,14 @@ class OriginalCPTrainer(Trainer):
         alpha, gamma = self.cfg.focal_alpha, self.cfg.focal_gamma
 
         def loss_fn(params, frozen, mb, rng):
+            # DP-shard the raw microbatch over the data axis BEFORE the
+            # towers, so the resnet/MiniLM forward+backward (the dominant
+            # FLOPs of this end-to-end path) runs sharded rather than
+            # replicated (no-op on a 1-device mesh)
+            mb = {
+                k: constrain(v, P("data", *([None] * (v.ndim - 1))))
+                for k, v in mb.items()
+            }
             emb = self._encode_items(params, frozen, mb)
             scores = self.model.cp_forward(
                 params["model"], emb, mb["mask"], deterministic=False, rng=rng

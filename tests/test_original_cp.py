@@ -86,3 +86,46 @@ class TestOriginalCP:
         ]
         assert all(d > 0 for d in diffs), diffs
         assert t.ckpt.exists("best_auc")
+
+
+class TestOriginalCPMesh:
+    def test_mesh_run_matches_single_device(self, setup, tmp_path):
+        """The end-to-end path (raw towers inside the step) through the
+        real trainer on mesh(data=4, model=2, fsdp) must reproduce the
+        single-device loss/AUC (tolerance: sharded reduction order). This
+        is the 4th and last task-trainer family driven over a mesh."""
+        import dataclasses
+
+        from outfitx_tpu.core.config import MeshConfig
+
+        synth, enc, source, model_cfg, cfg = setup
+        results = {}
+        for name, mesh_cfg in (
+            ("single", MeshConfig(data=1, model=1)),
+            ("mesh", MeshConfig(data=4, model=2, fsdp=True)),
+        ):
+            run_cfg = dataclasses.replace(
+                cfg,
+                mesh=mesh_cfg,
+                checkpoint_dir=str(tmp_path / name / "ckpt"),
+                log_dir=str(tmp_path / name / "logs"),
+            )
+            with OriginalCPTrainer(
+                run_cfg,
+                model_cfg,
+                encoder=enc,
+                source=source,
+                train_split=synth.cp_train,
+                valid_split=synth.cp_valid,
+            ) as t:
+                results[name] = t.run()
+                if name == "mesh":
+                    sharded = sum(
+                        len(x.sharding.device_set) > 1
+                        for x in jax.tree.leaves(t.state.params["model"])
+                    )
+                    assert sharded > 0  # TP/FSDP actually applied
+        s, m = results["single"], results["mesh"]
+        assert np.isfinite(m["loss"])
+        np.testing.assert_allclose(m["loss"], s["loss"], rtol=5e-3)
+        np.testing.assert_allclose(m["auc"], s["auc"], atol=5e-3)
