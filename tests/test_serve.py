@@ -1477,3 +1477,57 @@ class TestReplicaRecycling:
         assert not t.is_alive()
         assert "RSS" in fired["reason"]
         httpd.server_close()
+
+
+    def test_in_flight_request_completes_during_drain(self, engine):
+        """The drain contract's core promise: a request already being
+        handled when the watchdog fires runs to completion (the watchdog
+        only stops the ACCEPT loop; server_close joins handler threads)."""
+        import time
+        from http.server import ThreadingHTTPServer
+
+        from outfitx_tpu.serve.app import make_handler, start_drain_watchdog
+
+        slow_started = threading.Event()
+        orig = engine.cp_score
+
+        def slow_cp_score(ids):
+            slow_started.set()
+            time.sleep(2.0)  # hold the request across the drain moment
+            return orig(ids)
+
+        engine.cp_score = slow_cp_score
+        try:
+            httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(engine))
+            port = httpd.server_address[1]
+            t = threading.Thread(target=httpd.serve_forever)
+            t.start()
+
+            result = {}
+
+            def client():
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/api/cp",
+                    data=json.dumps(
+                        {"outfit": engine.sample_outfit(3)}
+                    ).encode(),
+                    method="POST",
+                )
+                with urllib.request.urlopen(req, timeout=30) as r:
+                    result["status"] = r.status
+                    result["body"] = json.loads(r.read())
+
+            ct = threading.Thread(target=client)
+            ct.start()
+            assert slow_started.wait(timeout=10)
+            # request is now mid-handler: fire the drain
+            fired = start_drain_watchdog(httpd, max_age_s=0.0, interval_s=0.05)
+            t.join(timeout=30)
+            assert not t.is_alive()
+            httpd.server_close()  # joins the in-flight handler thread
+            ct.join(timeout=30)
+            assert result.get("status") == 200, result
+            assert "score" in result["body"]
+            assert fired["reason"]
+        finally:
+            engine.cp_score = orig
